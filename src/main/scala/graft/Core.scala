@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One declared operator query: a DataFrame builder over an sf directory
+  * plus (when SQL-expressible) a DuckDB-1.0 oracle string the driver runs
+  * on the same parquet tables.
+  *
+  * Determinism rules (SURVEY.md §1.2/§5): double aggregates are summed via
+  * exact DECIMAL(38,6) on both sides (order-independent, bit-identical after
+  * the cast back to DOUBLE), per-row doubles are emitted un-rounded (same
+  * IEEE expression tree on both engines is bit-identical), and every query
+  * ends with a total-order ORDER BY.
+  */
+final case class Q(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Loaders for the driver-provided parquet tables. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by Sessions).
+    * DuckDB's read_parquet truncates the same column to µs TIMESTAMP, so we
+    * truncate the nanos long identically → exact oracle parity at µs.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // NTZ (naive) like every other timestamp column here — DuckDB's
+      // TIMESTAMP is naive, and session TZ is UTC on both engines.
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    else df
+  }
+}
+
+/** Shared SparkSession builder config for all our mains/tests. */
+object Sessions {
+  def local(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(4, Runtime.getRuntime.availableProcessors()).toString)
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs parquet output (not INT96): the oracle harness reads both our
+      // output and DuckDB's result as µs-precision datetimes.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+  }
+}
+
+/** Oracle-parity aggregation helpers.
+  *
+  * Double `sum()` is partial/final across partitions in Spark but sequential
+  * in DuckDB — the float result differs in low bits and no rounding scale is
+  * fully safe. Instead both sides sum exactly in DECIMAL(38,6) and cast the
+  * (identical) decimal back to DOUBLE: bit-identical, no rounding games.
+  */
+object Par {
+  private val D = "decimal(38,6)"
+
+  /** Exact decimal sum, emitted as double. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Exact-sum mean, emitted as double (double/long division is IEEE-identical
+    * on both engines). Only for non-null columns. */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Oracle fragment matching [[dsum]]. */
+  def oSum(x: String): String = s"CAST(sum(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** Oracle fragment matching [[davg]]. */
+  def oAvg(x: String): String = s"(${oSum(x)} / count($x))"
+
+  /** Sample stddev via exact decimal moments: sqrt((ss - s*s/n)/(n-1)) with
+    * all the outer arithmetic in IEEE double on both engines. */
+  def dstd(c: Column): Column = {
+    val n = count(c).cast("double")
+    val s = dsum(c)
+    val ss = sum((c * c).cast(D)).cast("double")
+    sqrt((ss - s * s / n) / (n - lit(1.0)))
+  }
+
+  def oStd(x: String): String = {
+    val n = s"CAST(count($x) AS DOUBLE)"
+    val s = oSum(x)
+    val ss = s"CAST(sum(CAST((($x)*($x)) AS DECIMAL(38,6))) AS DOUBLE)"
+    s"sqrt(($ss - $s*$s/$n)/($n - 1.0))"
+  }
+}

@@ -1,0 +1,423 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Par._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational core: scans, projection/filter, joins, aggregation, sort/set
+  * ops (SURVEY.md §2.1–2.4, §2.6).
+  *
+  * Scale notes (100 TB design intent, tested at local[*]):
+  *  - Dimension joins are `broadcast()`-hinted — at any scale region/nation/
+  *    part/supplier stay MB-sized, so no shuffle of the fact table.
+  *  - Fact-fact joins shuffle on the join key once; aggregations that follow
+  *    reuse hash partial aggregation (map-side combine) automatically.
+  *  - All filters/projections are Catalyst expressions → pushed into the
+  *    parquet scan (PushedFilters / ReadSchema prune row groups + columns).
+  *  - Every query ends in a total-order ORDER BY for oracle determinism;
+  *    at scale that is a final range-partitioned sort of an already-reduced
+  *    result (small), not of the fact table.
+  */
+object Relational {
+
+  private def L(s: SparkSession, d: String)  = Tables.t(s, d, "lineitem")
+  private def O(s: SparkSession, d: String)  = Tables.t(s, d, "orders")
+  private def C(s: SparkSession, d: String)  = Tables.t(s, d, "customer")
+  private def P(s: SparkSession, d: String)  = Tables.t(s, d, "part")
+  private def S(s: SparkSession, d: String)  = Tables.t(s, d, "supplier")
+  private def N(s: SparkSession, d: String)  = Tables.t(s, d, "nation")
+  private def R(s: SparkSession, d: String)  = Tables.t(s, d, "region")
+  private def E(s: SparkSession, d: String)  = Tables.t(s, d, "events")
+
+  /** l_extendedprice*(1-l_discount) */
+  private val discPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  // ---------------------------------------------------------------- scans
+
+  val defs: Map[String, Q] = Map(
+
+    "scan_parquet" -> Q(
+      (s, d) => L(s, d).agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem")),
+
+    // Column pruning + predicate pushdown: ReadSchema keeps 3 columns, the
+    // quantity predicate reaches the parquet row-group stats.
+    "scan_pruned" -> Q(
+      (s, d) => L(s, d)
+        .where(col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+              WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""")),
+
+    // CSV round-trip with an explicit read schema; the oracle checks the
+    // equivalent aggregate on the source table (round-trip must be lossless).
+    "scan_csv_rt" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        O(s, d).where(col("o_totalprice") > 100000)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+          .option("header", "true").csv(tmp)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+                     ${oSum("o_totalprice")} AS total
+              FROM orders WHERE o_totalprice > 100000
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ------------------------------------------- projection / filter / case
+
+    // Per-row IEEE arithmetic with the same expression tree is bit-identical
+    // on both engines — no rounding (round() itself diverges: Spark rounds
+    // the shortest decimal repr, DuckDB the binary value).
+    "project_expr" -> Q(
+      (s, d) => L(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (discPrice * (lit(1) + col("l_tax"))).as("charge"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    "filter_pred" -> Q(
+      (s, d) => O(s, d).where(
+        (col("o_orderstatus") === "O" || col("o_orderstatus") === "P") &&
+        col("o_totalprice").between(50000, 300000) &&
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        !col("o_orderpriority").like("%LOW%") &&
+        col("o_custkey").isNotNull)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+              FROM orders
+              WHERE (o_orderstatus = 'O' OR o_orderstatus = 'P')
+                AND o_totalprice BETWEEN 50000 AND 300000
+                AND o_orderpriority IN ('1-URGENT','2-HIGH')
+                AND o_orderpriority NOT LIKE '%LOW%'
+                AND o_custkey IS NOT NULL
+              ORDER BY o_orderkey""")),
+
+    // Reference's voxel binarization (threshold → 0/1), recast on lineitem.
+    "filter_binarize" -> Q(
+      (s, d) => L(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") > 25, 1).otherwise(0).as("flag"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS flag
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ----------------------------------------------------------------- joins
+
+    // Star-schema join: both dims broadcast → zero fact-table shuffle before
+    // the aggregation.
+    "join_bcast" -> Q(
+      (s, d) => L(s, d)
+        .join(broadcast(P(s, d)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(S(s, d).where(col("s_nationkey") < 13)),
+              col("l_suppkey") === col("s_suppkey"))
+        .groupBy("p_brand")
+        .agg(dsum(discPrice).as("revenue"), count(lit(1)).as("cnt"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, ${oSum("l_extendedprice*(1-l_discount)")} AS revenue,
+                     count(*) AS cnt
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey < 13
+              GROUP BY p_brand ORDER BY p_brand""")),
+
+    // Fact-fact join on the order key; `merge` hint pins sort-merge (the plan
+    // a 100 TB orders⋈lineitem would use — both sides shuffle-partitioned by
+    // l_orderkey, no broadcast possible).
+    "join_smj" -> Q(
+      (s, d) => O(s, d).hint("merge")
+        .join(L(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+        .orderBy("o_orderpriority"),
+      // l_quantity is integral → double sums are exact in any order.
+      Some("""SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // 5-way star chain; dims broadcast, single shuffle for the final group.
+    "join_multi" -> Q(
+      (s, d) => L(s, d)
+        .join(O(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(C(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(N(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(R(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(discPrice).as("revenue"))
+        .orderBy("r_name"),
+      Some(s"""SELECT r_name, ${oSum("l_extendedprice*(1-l_discount)")} AS revenue
+              FROM region
+              JOIN nation   ON n_regionkey = r_regionkey
+              JOIN customer ON c_nationkey = n_nationkey
+              JOIN orders   ON o_custkey   = c_custkey
+              JOIN lineitem ON l_orderkey  = o_orderkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // Left join with an ON-clause residual predicate; count(col) skips the
+    // null-extended rows on both engines.
+    "join_left" -> Q(
+      (s, d) => {
+        val l = L(s, d)
+        O(s, d).join(l,
+            col("o_orderkey") === col("l_orderkey") && col("l_quantity") > 49, "left")
+          .groupBy("o_orderkey")
+          .agg(count(col("l_orderkey")).as("n_lines"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(l_orderkey) AS n_lines
+              FROM orders LEFT JOIN lineitem
+                ON o_orderkey = l_orderkey AND l_quantity > 49
+              GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // Full outer with genuine nulls on both sides (customer side filtered,
+    // order side is DISTINCT custkeys). coalesce(...) is unique → total order.
+    "join_outer" -> Q(
+      (s, d) => {
+        val cs = C(s, d).where(col("c_acctbal") > 5000).select("c_custkey")
+        val os = O(s, d).select("o_custkey").distinct()
+        cs.join(os, col("c_custkey") === col("o_custkey"), "full")
+          .select("c_custkey", "o_custkey")
+          .orderBy(coalesce(col("c_custkey"), col("o_custkey")))
+      },
+      Some("""SELECT c_custkey, o_custkey
+              FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+              FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+                ON c_custkey = o_custkey
+              ORDER BY coalesce(c_custkey, o_custkey)""")),
+
+    // Semi join ≅ EXISTS: orders with ≥1 high-discount line. Spark plans a
+    // left-semi hash/SMJ — right side deduped implicitly, no row explosion.
+    "join_semi" -> Q(
+      (s, d) => O(s, d).join(
+          L(s, d).where(col("l_discount") >= 0.09),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+              ORDER BY o_orderkey""")),
+
+    // Anti join ≅ NOT EXISTS: customers with no orders.
+    "join_anti" -> Q(
+      (s, d) => C(s, d).join(O(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey""")),
+
+    // Range/theta join: same-user event pairs within 5 minutes. Equi part
+    // (user_id) drives the shuffle; the time predicate is the SMJ residual —
+    // never a broadcast-nested-loop. At 100 TB: additionally bucket ts into
+    // coarse bands and join on (user, band ± 1) to bound the per-key scan.
+    "join_theta_range" -> Q(
+      (s, d) => {
+        val a = E(s, d).select(col("user_id"), col("ts").as("a_ts"))
+        val b = E(s, d).select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+        a.join(b, col("user_id") === col("b_user") &&
+            col("b_ts") > col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 5 MINUTES"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT a.user_id AS user_id, count(*) AS n_pairs
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+              GROUP BY a.user_id ORDER BY user_id""")),
+
+    // As-of join: latest signup at-or-before each purchase, per user.
+    // Spark-side: union the two event kinds and carry the last non-null
+    // signup ts forward with a running window — one shuffle on user_id,
+    // no join explosion (the 100 TB-safe ASOF plan). Oracle: the equivalent
+    // max-preceding LEFT JOIN formulation.
+    "join_asof" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = E(s, d).where(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            when(col("event_type") === "signup", col("ts")).as("sig_ts"),
+            when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("signup_ts", last("sig_ts", ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select("event_id", "signup_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, max(s.ts) AS signup_ts
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                ON s.user_id = p.user_id AND s.ts <= p.ts
+              GROUP BY p.event_id ORDER BY p.event_id""")),
+
+    // ---------------------------------------------------------- aggregation
+
+    "agg_global" -> Q(
+      (s, d) => L(s, d).agg(
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dstd(col("l_extendedprice")).as("sd_price"),
+        count(lit(1)).as("cnt")),
+      Some(s"""SELECT min(l_extendedprice) AS min_price,
+                     max(l_extendedprice) AS max_price,
+                     ${oAvg("l_extendedprice")} AS avg_price,
+                     ${oSum("l_extendedprice")} AS sum_price,
+                     ${oStd("l_extendedprice")} AS sd_price,
+                     count(*) AS cnt
+              FROM lineitem""")),
+
+    // Flagship TPC-H Q1-style pricing summary (SparkEntry.entry).
+    "agg_group" -> Q(
+      (s, d) => aggGroup(L(s, d)),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty,
+                     ${oSum("l_extendedprice")} AS sum_base_price,
+                     ${oSum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+                     ${oSum("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+                     ${oAvg("l_quantity")} AS avg_qty,
+                     ${oAvg("l_extendedprice")} AS avg_price,
+                     ${oAvg("l_discount")} AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // Fixed-width histogram (reference's histogram pipeline). DuckDB floor()
+    // returns DOUBLE → cast to BIGINT to match Spark's floor → LONG.
+    "agg_histogram" -> Q(
+      (s, d) => L(s, d)
+        .groupBy(floor(col("l_extendedprice") / 10000).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(floor(l_extendedprice/10000) AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY 1 ORDER BY bucket""")),
+
+    "agg_distinct" -> Q(
+      (s, d) => L(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
+                     count(DISTINCT l_suppkey) AS n_supps,
+                     count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+              FROM lineitem""")),
+
+    // HLL sketch — no SQL oracle (driver records rows-only check).
+    "agg_approx_distinct" -> Q(
+      (s, d) => E(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+      None),
+
+    // ROLLUP super-aggregate rows contain NULLs → order with explicit
+    // NULLS FIRST on both engines (DuckDB defaults to NULLS LAST on ASC).
+    "agg_grouping_sets" -> Q(
+      (s, d) => L(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     sum(l_quantity) AS sum_qty, count(*) AS cnt
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // Pivot with explicit value list (required at scale — implicit pivot
+    // runs a driver-side distinct first). Missing cells → 0.
+    "agg_pivot" -> Q(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = E(s, d).groupBy("user_id").pivot("event_type", types).count()
+        p.select(col("user_id") +:
+            types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+                     CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                     CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                     CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                     CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                     CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // collect_list is order-nondeterministic → sort_array on the Spark side,
+    // list(... ORDER BY ...) on DuckDB's.
+    "agg_collect" -> Q(
+      (s, d) => L(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+             sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+                     list(l_linenumber ORDER BY l_linenumber) AS lines,
+                     list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+              FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ------------------------------------------------- sort / limit / sets
+
+    // Global top-k → TakeOrderedAndProject (per-partition top-k + driver
+    // merge; never a full sort at scale). Unique tiebreak key.
+    "sort_limit" -> Q(
+      (s, d) => O(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    "set_union" -> Q(
+      (s, d) => C(s, d).select(col("c_custkey").as("k"))
+        .union(S(s, d).select(col("s_suppkey").as("k")))
+        .distinct()
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer
+              UNION SELECT s_suppkey FROM supplier ORDER BY k""")),
+
+    "set_intersect" -> Q(
+      (s, d) => C(s, d).select(col("c_custkey").as("k"))
+        .intersect(O(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer
+              INTERSECT SELECT o_custkey FROM orders ORDER BY k""")),
+
+    "set_except" -> Q(
+      (s, d) => C(s, d).select(col("c_custkey").as("k"))
+        .except(O(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey FROM orders ORDER BY k"""))
+  )
+
+  /** Flagship pricing summary, shared with SparkEntry.entry. */
+  def aggGroup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsum(discPrice * (lit(1) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+}
