@@ -29,12 +29,20 @@ object Tables {
     * truncate the nanos long identically → exact oracle parity at µs.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // NTZ (naive) like every other timestamp column here — DuckDB's
-      // TIMESTAMP is naive, and session TZ is UTC on both engines.
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events")
+        // NTZ (naive) like every other timestamp column here — DuckDB's
+        // TIMESTAMP is naive, and session TZ is UTC on both engines.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      else raw
+    // Normalize any remaining LTZ timestamp (Spark reads the ms-precision
+    // naive parquet columns as LTZ) to NTZ — value-preserving under UTC.
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        acc.withColumn(f.name, col(f.name).cast("timestamp_ntz"))
+      else acc
+    }
   }
 }
 
@@ -49,6 +57,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // naive (isAdjustedToUTC=false) parquet timestamps → TIMESTAMP_NTZ,
+      // matching DuckDB's naive TIMESTAMP semantics for orders/lineitem.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
       // µs parquet output (not INT96): the oracle harness reads both our
       // output and DuckDB's result as µs-precision datetimes.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -70,6 +81,10 @@ object Par {
 
   /** Exact decimal sum, emitted as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Epoch µs of an NTZ timestamp (session TZ is UTC, so the LTZ cast is
+    * value-preserving); matches DuckDB's epoch_us(). */
+  def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Exact-sum mean, emitted as double (double/long division is IEEE-identical
     * on both engines). Only for non-null columns. */

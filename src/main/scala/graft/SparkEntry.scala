@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[Map[String, Q]] = Seq(
-    operators.Relational.defs
+    operators.Relational.defs,
+    operators.Windows.defs,
+    operators.TimeSeries.defs,
+    operators.Scalar.defs
   )
 
   private lazy val all: Map[String, Q] = {

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface — one composite query per family
+  * (SURVEY.md §2.7). All narrow maps: no shuffle except the final
+  * presentation ORDER BY, and every function is a codegen'd Catalyst
+  * built-in (no UDFs).
+  *
+  * Parity notes: per-row IEEE arithmetic is bit-identical between engines
+  * for the same expression tree; transcendentals (ln/exp/pow) may differ in
+  * the last ulp between libm implementations, so those are round()-ed to
+  * 6 dp — safe for continuous-valued outputs (never sits on a rounding
+  * boundary), unlike 2-dp money columns (graft.Par rationale).
+  */
+object Scalar {
+
+  private def P(s: SparkSession, d: String) = Tables.t(s, d, "part")
+  private def O(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def C(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def E(s: SparkSession, d: String) = Tables.t(s, d, "events")
+  private def V(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+
+    "fn_string" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(substring(col("p_name"), 1, 8)).as("usub"),
+        length(col("p_name")).cast("bigint").as("len"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+        expr("replace(p_name, ' ', '_')").as("snake"),
+        element_at(split(col("p_name"), " "), 1).as("first_tok"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        col("p_name").like("%a%").as("has_a"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     lower(p_name) AS lname,
+                     upper(substring(p_name, 1, 8)) AS usub,
+                     length(p_name) AS len,
+                     trim('  ' || p_name || '  ') AS trimmed,
+                     replace(p_name, ' ', '_') AS snake,
+                     string_split(p_name, ' ')[1] AS first_tok,
+                     regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+                     p_name LIKE '%a%' AS has_a,
+                     p_brand || '#' || p_type AS brand_type
+              FROM part ORDER BY p_partkey""")),
+
+    "fn_date" -> Q(
+      (s, d) => O(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("bigint").as("dom"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow1"), // 1 = Sunday
+        date_trunc("month", col("o_orderdate")).cast("timestamp_ntz")
+          .as("month_start"),
+        datediff(col("o_orderdate"), lit("2024-01-01")).cast("bigint").as("days_since"),
+        add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+        to_date(col("o_orderdate")).as("od"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     year(o_orderdate) AS yr,
+                     month(o_orderdate) AS mo,
+                     day(o_orderdate) AS dom,
+                     dayofweek(o_orderdate) + 1 AS dow1,
+                     CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month_start,
+                     datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE))
+                       AS days_since,
+                     CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                       AS plus2m,
+                     CAST(o_orderdate AS DATE) AS od
+              FROM orders ORDER BY o_orderkey""")),
+
+    "fn_math" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        abs(col("p_size") - 25).as("abs_off"),
+        ceil(col("p_retailprice")).cast("double").as("ceil_price"),
+        floor(col("p_retailprice")).cast("double").as("floor_price"),
+        sqrt(col("p_retailprice")).as("sqrt_price"), // IEEE-exact, no round
+        round(log(col("p_retailprice")), 6).as("ln_price"),
+        round(exp(col("p_size") / lit(10.0)), 6).as("exp_size"),
+        round(pow(col("p_retailprice"), lit(1.5)), 6).as("pow_price"),
+        signum(col("p_size") - 25).cast("int").as("sgn"),
+        greatest(col("p_size"), lit(25)).cast("bigint").as("hi"),
+        least(col("p_size"), lit(25)).cast("bigint").as("lo"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     abs(p_size - 25) AS abs_off,
+                     ceil(p_retailprice) AS ceil_price,
+                     floor(p_retailprice) AS floor_price,
+                     sqrt(p_retailprice) AS sqrt_price,
+                     round(ln(p_retailprice), 6) AS ln_price,
+                     round(exp(p_size / 10.0), 6) AS exp_size,
+                     round(pow(p_retailprice, 1.5), 6) AS pow_price,
+                     CAST(sign(p_size - 25) AS INTEGER) AS sgn,
+                     greatest(p_size, 25) AS hi,
+                     least(p_size, 25) AS lo
+              FROM part ORDER BY p_partkey""")),
+
+    // Array HOFs over the embedding column. Fold order (0 + e1 + e2 + …)
+    // is pinned identically on both engines → exact double parity.
+    "fn_array" -> Q(
+      (s, d) => V(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        element_at(col("embedding"), 1).as("first_el"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("vsum"),
+        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2.0)")
+          .as("head2x"),
+        array_max(col("embedding")).as("vmax"),
+        array_min(col("embedding")).as("vmin"),
+        size(filter(col("embedding"), _ > 0.0f)).cast("bigint").as("n_pos"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                     len(embedding) AS dim,
+                     embedding[1] AS first_el,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                       (acc, x) -> acc + x) AS vsum,
+                     list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0)
+                       AS head2x,
+                     list_max(embedding) AS vmax,
+                     list_min(embedding) AS vmin,
+                     len(list_filter(embedding, x -> x > 0.0)) AS n_pos
+              FROM embeddings ORDER BY vec_id""")),
+
+    "fn_json" -> Q(
+      (s, d) => E(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        (get_json_object(col("props"), "$.k").cast("double") * col("value"))
+          .as("k_weighted"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                     CAST(json_extract_string(props, '$.k') AS DOUBLE) * value
+                       AS k_weighted
+              FROM events ORDER BY event_id""")),
+
+    // Map build + lookup on the Spark side; the oracle checks the looked-up
+    // values directly (DuckDB MAP dialect differs, values are what matter).
+    "fn_map" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        element_at(
+          map_from_arrays(
+            array(lit("size"), lit("retail")),
+            array(col("p_size").cast("double"), col("p_retailprice"))),
+          "retail").as("m_retail"),
+        map_keys(
+          map_from_arrays(array(lit("a"), lit("b")), array(lit(1), lit(2))))
+          .as("ks"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     p_retailprice AS m_retail,
+                     ['a', 'b'] AS ks
+              FROM part ORDER BY p_partkey""")),
+
+    "fn_cond" -> Q(
+      (s, d) => C(s, d).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg_or_other"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_band"),
+        nvl(col("c_nationkey"), lit(-1)).as("nat"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER')
+                       AS seg_or_other,
+                     CASE WHEN c_acctbal < 0 THEN 'neg'
+                          WHEN c_acctbal < 5000 THEN 'mid'
+                          ELSE 'high' END AS bal_band,
+                     coalesce(c_nationkey, -1) AS nat
+              FROM customer ORDER BY c_custkey"""))
+  )
+}

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Par.usec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5).
+  *
+  * Scale notes: every window below partitions by a high-cardinality key
+  * (customer/user) — one hash shuffle, then per-partition sort; no global
+  * sort of the fact table. Running double sums are computed in exact
+  * DECIMAL(38,6) so partial-order differences can't perturb low bits
+  * (graft.Par rationale), then cast back to DOUBLE.
+  */
+object Windows {
+
+  private def O(s: SparkSession, d: String) = Tables.t(s, d, "orders")
+  private def C(s: SparkSession, d: String) = Tables.t(s, d, "customer")
+  private def E(s: SparkSession, d: String) = Tables.t(s, d, "events")
+
+  val defs: Map[String, Q] = Map(
+
+    // Top-3 orders per customer; unique (totalprice DESC, orderkey) tiebreak
+    // keeps rank/row_number deterministic on both engines.
+    "win_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        O(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("bigint").as("rn"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"))
+          .where(col("rn") <= 3)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                           row_number() OVER w AS rn,
+                           rank()       OVER w AS rnk,
+                           dense_rank() OVER w AS drnk
+                    FROM orders
+                    WINDOW w AS (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC))
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // Cumulative revenue per customer in order-date order (exact decimal).
+    "win_running" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        O(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast("decimal(38,6)")).over(w)
+              .cast("double").as("cum_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS cum_spend
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // Inter-event gap per user in µs (integer arithmetic → exact parity).
+    "win_lag_lead" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        E(s, d)
+          .select(col("event_id"), col("user_id"),
+            (usec(col("ts")) - usec(lag("ts", 1).over(w)))
+              .as("gap_us"),
+            (usec(lead("ts", 1).over(w)) - usec(col("ts")))
+              .as("next_us"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+                     epoch_us(lead(ts, 1) OVER w) - epoch_us(ts) AS next_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""")),
+
+    // 7-day moving average of daily order revenue: integer RANGE frame over
+    // epoch days (gaps in the calendar handled identically on both engines).
+    "win_range_frame" -> Q(
+      (s, d) => {
+        val daily = O(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("rev"))
+          .select(datediff(col("day"), lit("1970-01-01")).cast("bigint").as("epoch_day"),
+            col("rev"))
+        val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+        daily
+          .select(col("epoch_day"),
+            (sum("rev").over(w).cast("double") /
+              count(lit(1)).over(w)).as("avg7"))
+          .orderBy("epoch_day")
+      },
+      Some("""WITH daily AS (
+                SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                         AS epoch_day,
+                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+                FROM orders GROUP BY 1)
+              SELECT epoch_day,
+                     CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS avg7
+              FROM daily
+              WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+              ORDER BY epoch_day""")),
+
+    // ntile / percent_rank / cume_dist over account balance.
+    "win_ntile_pct" -> Q(
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        C(s, d)
+          .select(col("c_custkey"), col("c_acctbal"),
+            ntile(5).over(w).cast("bigint").as("quintile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_acctbal,
+                     ntile(5)       OVER w AS quintile,
+                     percent_rank() OVER w AS pct_rank,
+                     cume_dist()    OVER w AS cume
+              FROM customer
+              WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+              ORDER BY c_custkey"""))
+  )
+}
