@@ -14,7 +14,10 @@ object SparkEntry {
     operators.Relational.defs,
     operators.Windows.defs,
     operators.TimeSeries.defs,
-    operators.Scalar.defs
+    operators.Scalar.defs,
+    operators.Text.defs,
+    operators.Similarity.defs,
+    operators.ML.defs
   )
 
   private lazy val all: Map[String, Q] = {

@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.VectorOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.9).
+  *
+  * Scale notes (100 TB design): the declared queries are brute-force
+  * probe-set × corpus — correct and exact, with the probe set capped so the
+  * cross join is (probes × corpus), never corpus². The corpus side streams
+  * (narrow scan, no shuffle); probes are broadcast. The approximate scale
+  * path — BucketedRandomProjectionLSH / MinHashLSH bucketing so candidates
+  * are bucket-local — is exercised in MLSuite; an IVF-style coarse-centroid
+  * variant is `sim_ivf_topk` below (bucket by nearest of K coarse centroids,
+  * search only the probe's bucket — the shuffle is by bucket id, and each
+  * probe compares against ~1/K of the corpus).
+  */
+object Similarity {
+
+  private def V(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
+  private def D(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  private val PROBES = 20
+  private val K = 5
+
+  /** probe×corpus cosine top-K, shared by sim_cosine_topk / sim_knn_label. */
+  private def topk(s: SparkSession, d: String): DataFrame = {
+    val v = V(s, d)
+    val probes = v.where(col("vec_id") < PROBES)
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+    val corpus = v.select(col("vec_id").as("vid"),
+      col("embedding").as("vemb"), col("label"))
+    val w = Window.partitionBy("pid")
+      .orderBy(col("cos").desc, col("vid").asc)
+    broadcast(probes).join(corpus, col("pid") =!= col("vid"))
+      .select(col("pid"), col("vid"), col("label"),
+        cosine(col("pemb"), col("vemb")).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .where(col("rn") <= K)
+  }
+
+  /** Oracle CTE computing the same top-K with identical fold arithmetic. */
+  private val oTopk: String =
+    s"""probes AS (SELECT vec_id AS pid, embedding AS pemb FROM embeddings
+                  WHERE vec_id < $PROBES),
+       scored AS (
+         SELECT pid, c.vec_id AS vid, c.label,
+                ${oDot("pemb", "c.embedding")} /
+                  (sqrt(${oDot("pemb", "pemb")}) *
+                   sqrt(${oDot("c.embedding", "c.embedding")})) AS cos
+         FROM probes, embeddings c WHERE pid <> c.vec_id),
+       ranked AS (
+         SELECT pid, vid, label, cos,
+                row_number() OVER (PARTITION BY pid
+                                   ORDER BY cos DESC, vid ASC) AS rn
+         FROM scored)"""
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact top-5 cosine neighbors for the probe set (identical double
+    // fold on both engines → raw doubles compare bit-exact).
+    "sim_cosine_topk" -> Q(
+      (s, d) => topk(s, d).select("pid", "vid", "cos", "rn")
+        .orderBy("pid", "rn"),
+      Some(s"""WITH $oTopk
+              SELECT pid, vid, cos, rn FROM ranked
+              WHERE rn <= $K ORDER BY pid, rn""")),
+
+    // kNN majority-vote label per probe (count desc, label asc tiebreak).
+    "sim_knn_label" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("pid")
+          .orderBy(col("votes").desc, col("label").asc)
+        topk(s, d)
+          .groupBy("pid", "label")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(w))
+          .where(col("vr") === 1)
+          .select(col("pid"), col("label").as("pred_label"), col("votes"))
+          .orderBy("pid")
+      },
+      Some(s"""WITH $oTopk,
+              votes AS (
+                SELECT pid, label, count(*) AS votes FROM ranked
+                WHERE rn <= $K GROUP BY pid, label)
+              SELECT pid, label AS pred_label, votes FROM (
+                SELECT pid, label, votes,
+                       row_number() OVER (PARTITION BY pid
+                                          ORDER BY votes DESC, label ASC) AS vr
+                FROM votes)
+              WHERE vr = 1 ORDER BY pid""")),
+
+    // IVF-style ANN: corpus bucketed by nearest of 4 coarse centroids
+    // (vec_id 0..3); probes search only their own bucket. The exact
+    // arithmetic is the same pinned fold, so the oracle replays it.
+    "sim_ivf_topk" -> Q(
+      (s, d) => {
+        val v = V(s, d)
+        val cents = v.where(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("d2").asc, col("cid").asc)
+        val bucketed = v.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            dist2(col("embedding"), col("cemb")).as("d2"))
+          .withColumn("arn", row_number().over(wAssign))
+          .where(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val probes = bucketed.where(col("vec_id") < PROBES)
+          .select(col("vec_id").as("pid"), col("embedding").as("pemb"),
+            col("cid").as("pcid"))
+        val wTop = Window.partitionBy("pid")
+          .orderBy(col("cos").desc, col("vid").asc)
+        broadcast(probes)
+          .join(bucketed.select(col("vec_id").as("vid"),
+              col("embedding").as("vemb"), col("cid")),
+            col("pcid") === col("cid") && col("pid") =!= col("vid"))
+          .select(col("pid"), col("vid"),
+            cosine(col("pemb"), col("vemb")).as("cos"))
+          .withColumn("rn", row_number().over(wTop).cast("bigint"))
+          .where(col("rn") <= K)
+          .select("pid", "vid", "cos", "rn")
+          .orderBy("pid", "rn")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
+                             FROM embeddings WHERE vec_id < 4),
+              assigned AS (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY ${oDist2("embedding", "cemb")} ASC, cid ASC)
+                         AS arn
+                FROM embeddings, cents),
+              bucketed AS (SELECT vec_id, embedding, cid FROM assigned
+                           WHERE arn = 1),
+              probes AS (SELECT vec_id AS pid, embedding AS pemb, cid AS pcid
+                         FROM bucketed WHERE vec_id < $PROBES),
+              scored AS (
+                SELECT pid, b.vec_id AS vid,
+                       ${oDot("pemb", "b.embedding")} /
+                         (sqrt(${oDot("pemb", "pemb")}) *
+                          sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
+                FROM probes JOIN bucketed b
+                  ON pcid = b.cid AND pid <> b.vec_id)
+              SELECT pid, vid, cos, rn FROM (
+                SELECT pid, vid, cos,
+                       row_number() OVER (PARTITION BY pid
+                                          ORDER BY cos DESC, vid ASC) AS rn
+                FROM scored)
+              WHERE rn <= $K ORDER BY pid, rn""")),
+
+    // Documents ⋈ embeddings with a mixed text + vector predicate.
+    "multimodal_join" -> Q(
+      (s, d) => D(s, d)
+        .join(V(s, d), col("doc_id") === col("vec_id"))
+        .where(col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"), col("label"), col("n_chars"),
+          norm2(col("embedding")).as("emb_norm2"))
+        .where(col("emb_norm2") > 1.0)
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, label, n_chars, emb_norm2 FROM (
+                SELECT doc_id, lang, label, n_chars,
+                       ${oDot("embedding", "embedding")} AS emb_norm2
+                FROM documents JOIN embeddings ON doc_id = vec_id
+                WHERE n_chars >= 200)
+              WHERE emb_norm2 > 1.0 ORDER BY doc_id"""))
+  )
+}

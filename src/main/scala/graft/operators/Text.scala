@@ -1,0 +1,251 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Par._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators over `documents`
+  * (SURVEY.md §2.9 — the LLM-training-pipeline surface).
+  *
+  * Scale notes (100 TB design):
+  *  - dedup_exact: hash-partitioned window on the content hash — one
+  *    shuffle keyed by sha256, no driver involvement.
+  *  - dedup_near: inverted-index self-join *blocked* by (lang, source,
+  *    length-band) — the candidate-pair count stays near-linear instead of
+  *    quadratic; the same blocking idea LSH banding uses. The MinHash-LSH
+  *    variant (MLlib) is exercised in MLSuite as the very-large-scale path.
+  *  - token pipelines are explode → hash-agg: map-side partial aggregation
+  *    keeps the shuffle at vocabulary size, not corpus size.
+  */
+object Text {
+
+  private def D(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  private val toks: Column = split(col("text"), " ")
+  private val utoks: Column = array_distinct(toks)
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact dedup by normalized content hash, deterministic keep-first
+    // (NOT dropDuplicates, which keeps an arbitrary row per key).
+    "dedup_exact" -> Q(
+      (s, d) => {
+        val h = sha2(lower(trim(col("text"))), 256).as("h")
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        D(s, d).select(col("doc_id"), h)
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select("doc_id", "h")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, h FROM (
+                SELECT doc_id, sha256(lower(trim(text))) AS h,
+                       row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                          ORDER BY doc_id) AS rn
+                FROM documents)
+              WHERE rn = 1 ORDER BY doc_id""")),
+
+    // Near-dup pairs: token-set Jaccard >= 0.9, candidate pairs blocked by
+    // (lang, source, n_chars//50) — the quadratic blowup is bounded per block.
+    "dedup_near" -> Q(
+      (s, d) => {
+        val t = D(s, d).select(
+          col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 50").as("band"),
+          size(utoks).as("nt"),
+          explode(utoks).as("token"))
+        val a = t.select(col("lang"), col("source"), col("band"), col("token"),
+          col("doc_id").as("ia"), col("nt").as("na"))
+        val b = t.select(col("lang").as("lang_b"), col("source").as("source_b"),
+          col("band").as("band_b"), col("token").as("token_b"),
+          col("doc_id").as("ib"), col("nt").as("nb"))
+        a.join(b,
+            col("lang") === col("lang_b") && col("source") === col("source_b") &&
+            col("band") === col("band_b") && col("token") === col("token_b") &&
+            col("ia") < col("ib"))
+          .groupBy("ia", "ib", "na", "nb")
+          .agg(count(lit(1)).as("common"))
+          .select(col("ia"), col("ib"),
+            (col("common").cast("double") /
+              (col("na") + col("nb") - col("common"))).as("jac"))
+          .where(col("jac") >= 0.9)
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH tok AS (
+                SELECT doc_id, lang, source, n_chars // 50 AS band,
+                       len(list_distinct(string_split(text, ' '))) AS nt,
+                       unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents)
+              SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
+              FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, a.nt AS na,
+                           b.nt AS nb, count(*) AS common
+                    FROM tok a JOIN tok b
+                      ON a.lang = b.lang AND a.source = b.source
+                     AND a.band = b.band AND a.token = b.token
+                     AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+              WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.9
+              ORDER BY ia, ib""")),
+
+    // Global word count with stopword filter (tokenization via SQL
+    // functions, not ml.Tokenizer, for oracle parity).
+    "text_tokens" -> Q(
+      (s, d) => D(s, d)
+        .select(explode(toks).as("token"), col("doc_id"))
+        .where(length(col("token")) > 0 && !col("token").isin("the", "a"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("n_docs"))
+        .orderBy("token"),
+      Some("""SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+              WHERE length(token) > 0 AND token NOT IN ('the', 'a')
+              GROUP BY token ORDER BY token""")),
+
+    // Bigram frequency table via index-lambda HOFs (identical shapes on
+    // both engines; Spark lambda index is 0-based, DuckDB's 1-based).
+    "text_ngrams" -> Q(
+      (s, d) => D(s, d)
+        .select(explode(filter(
+          transform(toks, (x, i) =>
+            when(i < size(toks) - 1,
+              concat_ws(" ", x, element_at(toks, i + lit(2))))),
+          _.isNotNull)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bigram"),
+      Some("""SELECT bigram, count(*) AS n
+              FROM (SELECT unnest(list_filter(
+                      list_transform(t, (x, i) ->
+                        CASE WHEN i < len(t) THEN x || ' ' || t[i+1] END),
+                      y -> y IS NOT NULL)) AS bigram
+                    FROM (SELECT string_split(text, ' ') AS t FROM documents))
+              GROUP BY bigram ORDER BY bigram""")),
+
+    // TF-IDF top-5 terms per source; idf uses the true source count, and the
+    // transcendental ln() is rounded at 6 dp (continuous values — safe).
+    "text_tfidf" -> Q(
+      (s, d) => {
+        val tok = D(s, d).select(col("source"), explode(toks).as("token"))
+        val nSrc = D(s, d).agg(countDistinct("source").as("n_src"))
+        val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("token")
+          .agg(countDistinct("source").as("df"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("score").desc, col("token").asc)
+        tf.join(df, "token").crossJoin(broadcast(nSrc))
+          .select(col("source"), col("token"),
+            round(col("tf") * log(col("n_src").cast("double") / col("df")), 6)
+              .as("score"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .where(col("rn") <= 5)
+          .orderBy("source", "rn")
+      },
+      Some("""WITH tok AS (
+                SELECT source, unnest(string_split(text, ' ')) AS token
+                FROM documents),
+              tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              df AS (SELECT token, count(DISTINCT source) AS df FROM tok GROUP BY 1),
+              n AS (SELECT count(DISTINCT source) AS n_src FROM documents)
+              SELECT source, token, score, rn FROM (
+                SELECT tf.source, tf.token,
+                       round(tf * ln(CAST(n_src AS DOUBLE) / df), 6) AS score,
+                       row_number() OVER (PARTITION BY tf.source
+                         ORDER BY round(tf * ln(CAST(n_src AS DOUBLE) / df), 6) DESC,
+                                  tf.token ASC) AS rn
+                FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+              WHERE rn <= 5 ORDER BY source, rn""")),
+
+    // Per-language/source document-length statistics.
+    "text_lang_stats" -> Q(
+      (s, d) => D(s, d)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          davg(col("n_chars")).as("avg_chars"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang", "source"),
+      Some(s"""SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     ${oAvg("n_chars")} AS avg_chars,
+                     min(n_chars) AS min_chars,
+                     max(n_chars) AS max_chars
+              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // Quality scoring: token stats + stopword ratio + a composite score.
+    // All integer/ratio arithmetic → exact parity.
+    "text_quality" -> Q(
+      (s, d) => {
+        val nTok = size(toks).cast("bigint")
+        val nUniq = size(utoks).cast("bigint")
+        val nStop = size(filter(toks, t => t === "the" || t === "a"))
+          .cast("bigint")
+        D(s, d).select(
+          col("doc_id"), col("lang"),
+          nTok.as("n_tokens"), nUniq.as("n_unique"), nStop.as("n_stop"),
+          (col("n_chars").cast("double") / nTok).as("avg_tok_len"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (nUniq.cast("double") / nTok *
+            (lit(1.0) - nStop.cast("double") / nTok)).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang,
+                     len(t) AS n_tokens,
+                     len(list_distinct(t)) AS n_unique,
+                     len(list_filter(t, x -> x = 'the' OR x = 'a')) AS n_stop,
+                     CAST(n_chars AS DOUBLE) / len(t) AS avg_tok_len,
+                     CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                       / len(t) AS stop_ratio,
+                     CAST(len(list_distinct(t)) AS DOUBLE) / len(t) *
+                       (1.0 - CAST(len(list_filter(t, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                              / len(t)) AS quality
+              FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Document fingerprint: polynomial rolling hash over a per-token code,
+    // folded left in pinned order with BIGINT modular arithmetic → exact.
+    "text_fingerprint" -> Q(
+      (s, d) => {
+        val codes = transform(toks, t =>
+          (ascii(substring(t, 1, 1)) * 100 + length(t)).cast("bigint"))
+        D(s, d).select(
+          col("doc_id"),
+          aggregate(codes, lit(0L),
+            (h, v) => (h * 31 + v) % 1000000007L).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                         t -> CAST(ascii(substring(t, 1, 1)) * 100 + length(t) AS BIGINT))),
+                       (h, v) -> (h * 31 + v) % 1000000007) AS fp
+              FROM documents ORDER BY doc_id""")),
+
+    // Heuristic language ID: stopword-profile score per doc (deterministic
+    // n-gram-style heuristic; the label set here is synthetic so the point
+    // is the operator shape, not linguistic accuracy).
+    "text_langid" -> Q(
+      (s, d) => {
+        val nTok = size(toks).cast("double")
+        val enRatio = size(filter(toks, t =>
+          t === "the" || t === "a" || t === "data")).cast("double") / nTok
+        D(s, d).select(
+          col("doc_id"), col("lang"),
+          enRatio.as("en_score"),
+          when(enRatio >= 0.15, "en").otherwise("other").as("pred"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, en_score,
+                     CASE WHEN en_score >= 0.15 THEN 'en' ELSE 'other' END AS pred
+              FROM (SELECT doc_id, lang,
+                      CAST(len(list_filter(string_split(text, ' '),
+                             x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS en_score
+                    FROM documents)
+              ORDER BY doc_id"""))
+  )
+}
