@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Scalar.defs,
     operators.Text.defs,
     operators.Similarity.defs,
-    operators.ML.defs
+    operators.ML.defs,
+    operators.Multimodal.defs
   )
 
   private lazy val all: Map[String, Q] = {

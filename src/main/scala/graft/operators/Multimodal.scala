@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-column) plumbing (task brief: treat image/audio/video
+  * as opaque binary columns with typed metadata).
+  *
+  * The real containers' decode libs are not in this environment, so the
+  * decode step is a clearly-marked deterministic STUB — but the Spark-side
+  * plumbing is real: binaryFile ingest, typed Dataset[MediaBlock] schema,
+  * partition-parallel feature extraction via mapPartitions (the Scala
+  * analogue of mapInPandas batch processing), and a relational join back
+  * to metadata.
+  *
+  * Scale notes: binaryFile rows carry content inline — at 100 TB the scan
+  * parallelizes per file; feature extraction is a narrow map (no shuffle);
+  * `spark.sql.files.maxPartitionBytes` controls batch sizing exactly as a
+  * Pandas-UDF batch size would.
+  */
+object Multimodal {
+
+  /** One opaque media block with typed metadata. */
+  case class MediaBlock(id: Long, kind: String, width: Int, height: Int,
+      bytes: Array[Byte])
+
+  /** Extracted features: byte stats + a 4-bin byte histogram. */
+  case class MediaFeatures(id: Long, kind: String, n_bytes: Long,
+      checksum: Long, hist: Seq[Long], thumb_w: Int, thumb_h: Int)
+
+  /** STUB decoder: a real deployment would decode image/audio frames here
+    * (e.g. via a JNI codec); this deterministic stand-in computes byte
+    * statistics so tests can assert exact values. The signature and batch
+    * shape (iterator→iterator, partition-local) are the real contract. */
+  def decodePartition(blocks: Iterator[MediaBlock]): Iterator[MediaFeatures] =
+    blocks.map { b =>
+      var sum = 0L
+      val hist = new Array[Long](4)
+      var i = 0
+      while (i < b.bytes.length) {
+        val v = b.bytes(i) & 0xff
+        sum = (sum * 31 + v) % 1000000007L
+        hist(v >> 6) += 1
+        i += 1
+      }
+      MediaFeatures(b.id, b.kind, b.bytes.length.toLong, sum,
+        hist.toSeq, b.width / 2, b.height / 2)
+    }
+
+  /** Distributed feature extraction over a typed Dataset. */
+  def extract(blocks: Dataset[MediaBlock]): Dataset[MediaFeatures] = {
+    import blocks.sparkSession.implicits._
+    blocks.mapPartitions(decodePartition)
+  }
+
+  /** binaryFile ingest: each file → (path, modificationTime, length, content). */
+  def readBlobs(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  val defs: Map[String, Q] = Map(
+    // Binary/block ingest of the sf directory itself (the parquet files as
+    // opaque blobs) — deterministic file names/sizes; no SQL oracle
+    // (DuckDB reads parquet content, not arbitrary blobs) → rows-only check.
+    "scan_binary" -> Q(
+      (s, d) => readBlobs(s, d + "/*.parquet")
+        .select(
+          element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("length"))
+        .orderBy("file_name"),
+      None)
+  )
+}

@@ -26,18 +26,22 @@ object Similarity {
   private val PROBES = 20
   private val K = 5
 
-  /** probe×corpus cosine top-K, shared by sim_cosine_topk / sim_knn_label. */
+  /** probe×corpus cosine top-K, shared by sim_cosine_topk / sim_knn_label.
+    * Norms are precomputed per side before the join (narrow maps), so the
+    * join evaluates one 64-dim fold per pair instead of three. */
   private def topk(s: SparkSession, d: String): DataFrame = {
     val v = V(s, d)
     val probes = v.where(col("vec_id") < PROBES)
-      .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+      .select(col("vec_id").as("pid"), col("embedding").as("pemb"),
+        sqrt(norm2(col("embedding"))).as("pn"))
     val corpus = v.select(col("vec_id").as("vid"),
-      col("embedding").as("vemb"), col("label"))
+      col("embedding").as("vemb"), col("label"),
+      sqrt(norm2(col("embedding"))).as("vn"))
     val w = Window.partitionBy("pid")
       .orderBy(col("cos").desc, col("vid").asc)
     broadcast(probes).join(corpus, col("pid") =!= col("vid"))
       .select(col("pid"), col("vid"), col("label"),
-        cosine(col("pemb"), col("vemb")).as("cos"))
+        (dot(col("pemb"), col("vemb")) / (col("pn") * col("vn"))).as("cos"))
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .where(col("rn") <= K)
   }
