@@ -53,6 +53,7 @@ object Sessions {
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -113,6 +113,19 @@ object Relational {
                      CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS flag
               FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
 
+    // Element-wise increment over the vector column — the reference's
+    // flagship "incrementation" pipeline (map over every element of every
+    // block, N times): a pure narrow map, no shuffle, stays in codegen.
+    "map_increment" -> Q(
+      (s, d) => Tables.t(s, d, "embeddings").select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) + 1.0)").as("inc"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE) + 1.0)
+                       AS inc
+              FROM embeddings ORDER BY vec_id""")),
+
     // ----------------------------------------------------------------- joins
 
     // Star-schema join: both dims broadcast → zero fact-table shuffle before

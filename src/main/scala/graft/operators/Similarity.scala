@@ -155,6 +155,54 @@ object Similarity {
                 FROM scored)
               WHERE rn <= $K ORDER BY pid, rn""")),
 
+    // Same top-K computed by the custom fused Catalyst expression
+    // (graft.functions.CosineSim, registered as cosine_sim via
+    // GraftExtensions): one codegen'd pass per pair instead of three HOF
+    // walks, bit-identical to the fold arithmetic — same oracle.
+    "sim_cosine_expr" -> Q(
+      (s, d) => {
+        val v = V(s, d)
+        val probes = v.where(col("vec_id") < PROBES)
+          .select(col("vec_id").as("pid"), col("embedding").as("pemb"))
+        val corpus = v.select(col("vec_id").as("vid"),
+          col("embedding").as("vemb"))
+        val w = Window.partitionBy("pid")
+          .orderBy(col("cos").desc, col("vid").asc)
+        broadcast(probes).join(corpus, col("pid") =!= col("vid"))
+          .select(col("pid"), col("vid"),
+            expr("cosine_sim(pemb, vemb)").as("cos"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .where(col("rn") <= K)
+          .select("pid", "vid", "cos", "rn")
+          .orderBy("pid", "rn")
+      },
+      Some(s"""WITH $oTopk
+              SELECT pid, vid, cos, rn FROM ranked
+              WHERE rn <= $K ORDER BY pid, rn""")),
+
+    // Embedding-cosine near-duplicate pairs over a bounded corpus slice
+    // (vec_id < 200 — at 100 TB this becomes bucket-local pairs via the
+    // IVF/LSH path above, never corpus²).
+    "dedup_embed" -> Q(
+      (s, d) => {
+        val v = V(s, d).where(col("vec_id") < 200)
+        val a = v.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+        val b = v.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+        a.join(b, col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            expr("cosine_sim(ea, eb)").as("cos"))
+          .where(col("cos") >= 0.35)
+          .orderBy("ia", "ib")
+      },
+      Some(s"""SELECT ia, ib, cos FROM (
+                SELECT a.vec_id AS ia, b.vec_id AS ib,
+                       ${oDot("a.embedding", "b.embedding")} /
+                         (sqrt(${oDot("a.embedding", "a.embedding")}) *
+                          sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id)
+              WHERE cos >= 0.35 ORDER BY ia, ib""")),
+
     // Documents ⋈ embeddings with a mixed text + vector predicate.
     "multimodal_join" -> Q(
       (s, d) => D(s, d)

@@ -225,6 +225,39 @@ object Text {
                        (h, v) -> (h * 31 + v) % 1000000007) AS fp
               FROM documents ORDER BY doc_id""")),
 
+    // SimHash fingerprint: 16-bit weighted-majority over per-token hashes
+    // (Knuth multiplicative hash of the token code) — all integer/bit math,
+    // exact parity. Near-dup docs land within small Hamming distance; at
+    // 100 TB the fingerprint is the grouping key (band the 16 bits into 4
+    // nibbles → hash-join candidates, like MinHash banding).
+    "dedup_simhash" -> Q(
+      (s, d) => D(s, d).select(
+        col("doc_id"),
+        expr("""aggregate(
+                  transform(sequence(0, 15), b ->
+                    IF(2 * size(filter(
+                         transform(split(text, ' '),
+                           t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                                * CAST(2654435761 AS BIGINT) % 4294967296),
+                         v -> ((v >> b) & 1) = 1))
+                       > size(split(text, ' ')),
+                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+                  CAST(0 AS BIGINT), (a, x) -> a + x)""").as("simhash"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(0, 15), b ->
+                         CASE WHEN 2 * len(list_filter(
+                                    list_transform(string_split(text, ' '),
+                                      t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                                           * CAST(2654435761 AS BIGINT) % 4294967296),
+                                    v -> ((v >> b) & 1) = 1))
+                                  > len(string_split(text, ' '))
+                              THEN (CAST(1 AS BIGINT) << b)
+                              ELSE CAST(0 AS BIGINT) END)),
+                       (a, x) -> a + x) AS simhash
+              FROM documents ORDER BY doc_id""")),
+
     // Heuristic language ID: stopword-profile score per doc (deterministic
     // n-gram-style heuristic; the label set here is synthetic so the point
     // is the operator shape, not linguistic accuracy).

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Physical-plan assertions: the properties that make these operators
+  * survive a 100 TB scale-up (pushdown, pruning, broadcast vs shuffle,
+  * shuffle counts) — checked on the actual executed plans, not by eye. */
+class PlanSuite extends SparkSpec {
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def formatted(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes the plan
+    planOf(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect()
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      if (p.isInstanceOf[ShuffleExchangeLike]) n += 1
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+    }
+    walk(planOf(df))
+    n
+  }
+
+  test("scan_pruned pushes the predicate and prunes columns at the scan") {
+    val plan = SparkEntry.queries("scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThanOrEqual(l_quantity,45.0)]"), s"no pushdown in:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double>"), s"no pruning in:\n$plan")
+  }
+
+  test("join_bcast broadcasts both dimension tables (no fact shuffle for the join)") {
+    val plan = formatted(SparkEntry.queries("join_bcast")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("join_smj keeps the fact-fact join as sort-merge (the 100 TB plan)") {
+    val plan = formatted(SparkEntry.queries("join_smj")(spark, sf))
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("map_increment is a pure narrow map — zero shuffles before the sort") {
+    // only the presentation ORDER BY may shuffle (range partitioning)
+    val n = countShuffles(SparkEntry.queries("map_increment")(spark, sf))
+    assert(n <= 1, s"expected <=1 shuffle (final sort), got $n")
+  }
+
+  test("agg_group aggregates with partial+final hash agg and one data shuffle") {
+    val df = SparkEntry.queries("agg_group")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // one shuffle for the groupBy, one for the tiny final orderBy
+    assert(countShuffles(df) <= 2)
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // codegen stages print as "*(n) " prefixes in the executed plan
+    val plan = formatted(SparkEntry.entry(spark))
+    assert(plan.contains("*(1)"), plan.take(2000))
+  }
+
+  test("sim_cosine_expr keeps the custom expression in a codegen stage") {
+    val df = SparkEntry.queries("sim_cosine_expr")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("cosine_sim"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("join_theta_range banding joins on equi keys (hash/SMJ, never BNLJ)") {
+    val plan = formatted(SparkEntry.queries("join_theta_range")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+}
