@@ -71,6 +71,27 @@ object Relational {
               FROM orders WHERE o_totalprice > 100000
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // JSON-lines round-trip with declared read schema (lossless: doubles
+    // serialize shortest-repr); oracle checks the equivalent aggregate on
+    // the source table.
+    "scan_json_rt" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+        C(s, d).where(col("c_acctbal") > 0)
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+          .json(tmp)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("total"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS cnt,
+                     ${oSum("c_acctbal")} AS total
+              FROM customer WHERE c_acctbal > 0
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ------------------------------------------- projection / filter / case
 
     // Per-row IEEE arithmetic with the same expression tree is bit-identical
