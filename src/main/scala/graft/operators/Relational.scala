@@ -371,6 +371,29 @@ object Relational {
         .orderBy("event_type"),
       None),
 
+    // Quantile sketch (Greenwald-Khanna) — sketch-dependent, rows-only check;
+    // the exact-percentile twin is oracled below.
+    "agg_approx_quantile" -> Q(
+      (s, d) => L(s, d).groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+          .as("approx_q"))
+        .orderBy("l_returnflag"),
+      None),
+
+    // Exact percentiles (median & quartiles) — deterministic interpolation,
+    // identical on both engines for the same sorted input.
+    "agg_percentile" -> Q(
+      (s, d) => L(s, d).groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     quantile_cont(l_quantity, 0.5) AS median_qty,
+                     quantile_cont(l_quantity, 0.25) AS q1_qty,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ROLLUP super-aggregate rows contain NULLs → order with explicit
     // NULLS FIRST on both engines (DuckDB defaults to NULLS LAST on ASC).
     "agg_grouping_sets" -> Q(
