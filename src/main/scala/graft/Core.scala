@@ -102,14 +102,17 @@ object Par {
   def dstd(c: Column): Column = {
     val n = count(c).cast("double")
     val s = dsum(c)
-    val ss = sum((c * c).cast(D)).cast("double")
+    // square in decimal (factors exact) — squaring the double first leaves
+    // ~ulp noise that the two engines round differently at the decimal cast
+    val ss = sum(c.cast("decimal(18,6)") * c.cast("decimal(18,6)")).cast("double")
     sqrt((ss - s * s / n) / (n - lit(1.0)))
   }
 
   def oStd(x: String): String = {
     val n = s"CAST(count($x) AS DOUBLE)"
     val s = oSum(x)
-    val ss = s"CAST(sum(CAST((($x)*($x)) AS DECIMAL(38,6))) AS DOUBLE)"
+    // DECIMAL(19,…) on the DuckDB side forces int128 storage (18 overflows)
+    val ss = s"CAST(sum(CAST(($x) AS DECIMAL(19,6)) * CAST(($x) AS DECIMAL(19,6))) AS DOUBLE)"
     s"sqrt(($ss - $s*$s/$n)/($n - 1.0))"
   }
 }

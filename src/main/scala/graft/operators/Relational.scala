@@ -47,9 +47,12 @@ object Relational {
       (s, d) => L(s, d)
         .where(col("l_quantity") >= 45)
         .select("l_orderkey", "l_linenumber", "l_quantity")
-        .orderBy("l_orderkey", "l_linenumber"),
+        // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+        // every output column so ties are full-row duplicates (harmless).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-              WHERE l_quantity >= 45 ORDER BY l_orderkey, l_linenumber""")),
+              WHERE l_quantity >= 45
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
     // CSV round-trip with an explicit read schema; the oracle checks the
     // equivalent aggregate on the source table (round-trip must be lossless).
@@ -101,10 +104,10 @@ object Relational {
       (s, d) => L(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         (discPrice * (lit(1) + col("l_tax"))).as("charge"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "charge"),
       Some("""SELECT l_orderkey, l_linenumber,
                      l_extendedprice*(1-l_discount)*(1+l_tax) AS charge
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, charge""")),
 
     "filter_pred" -> Q(
       (s, d) => O(s, d).where(
@@ -129,10 +132,11 @@ object Relational {
       (s, d) => L(s, d).select(
         col("l_orderkey"), col("l_linenumber"),
         when(col("l_quantity") > 25, 1).otherwise(0).as("flag"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "flag"),
       Some("""SELECT l_orderkey, l_linenumber,
                      CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS flag
-              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, flag""")),
 
     // Element-wise increment over the vector column — the reference's
     // flagship "incrementation" pipeline (map over every element of every
@@ -424,6 +428,61 @@ object Relational {
                      CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                      CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
               FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Pearson correlation from exact decimal moments (the built-in corr()
+    // is order-dependent float; this formulation is bit-exact on both
+    // engines — same trick as Par.dstd).
+    "agg_corr" -> Q(
+      (s, d) => {
+        // corr is scale-invariant → work on integer-valued decimals
+        // (quantity; price in cents): scale-0 decimal→double converts with
+        // a single rounding on both engines (scaled decimals double-round
+        // in DuckDB: int128→double, then ÷10^scale), and the catastrophic
+        // cancellation in n·Σxy − Σx·Σy amplifies any such ulp.
+        val x = col("l_quantity").cast("decimal(19,0)")
+        val y = (col("l_extendedprice") * lit(100)).cast("decimal(19,0)")
+        val n = count(lit(1)).cast("double")
+        def dsum0(c: Column) = sum(c).cast("double")
+        val sx = dsum0(x); val sy = dsum0(y)
+        val sxy = sum(x * y).cast("double")
+        val sxx = sum(x * x).cast("double")
+        val syy = sum(y * y).cast("double")
+        L(s, d).groupBy("l_returnflag")
+          .agg(((n * sxy - sx * sy) /
+            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+            .as("corr_qty_price"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val n = "CAST(count(*) AS DOUBLE)"
+        val qx = "CAST(l_quantity AS DECIMAL(19,0))"
+        val qy = "CAST(l_extendedprice*100 AS DECIMAL(19,0))"
+        def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        val (sx, sy) = (d0(qx), d0(qy))
+        val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx"); val syy = d0(s"$qy*$qy")
+        s"""SELECT l_returnflag,
+                   ($n*$sxy - $sx*$sy) /
+                     (sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy))
+                     AS corr_qty_price,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }),
+
+    // Unpivot (stack): wide → long over the three price-ish columns.
+    "agg_unpivot" -> Q(
+      (s, d) => L(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""stack(3, 'quantity', l_quantity,
+                           'price', l_extendedprice,
+                           'discount', l_discount) AS (measure, val)"""))
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val"),
+      Some("""SELECT l_orderkey, l_linenumber, measure, val
+              FROM (SELECT l_orderkey, l_linenumber,
+                           unnest(['quantity', 'price', 'discount']) AS measure,
+                           unnest([l_quantity, l_extendedprice, l_discount]) AS val
+                    FROM lineitem)
+              ORDER BY l_orderkey, l_linenumber, measure, val""")),
 
     // collect_list is order-nondeterministic → sort_array on the Spark side,
     // list(... ORDER BY ...) on DuckDB's.

@@ -111,6 +111,29 @@ object Windows {
               WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY epoch_day""")),
 
+    // first/last/nth value over the full-partition frame.
+    "win_first_last" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        O(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first("o_totalprice").over(w).as("first_price"),
+            last("o_totalprice").over(w).as("last_price"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     first_value(o_totalprice) OVER w AS first_price,
+                     last_value(o_totalprice) OVER w AS last_price,
+                     nth_value(o_totalprice, 2) OVER w AS second_price
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate ASC, o_orderkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY o_custkey, o_orderkey""")),
+
     // ntile / percent_rank / cume_dist over account balance.
     "win_ntile_pct" -> Q(
       (s, d) => {

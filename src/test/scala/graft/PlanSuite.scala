@@ -84,6 +84,15 @@ class PlanSuite extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("FuseVectorFolds rewrites the HOF dot fold into dot_product") {
+    val df = SparkEntry.queries("sim_cosine_topk")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"fold not fused:\n${optimized.take(2000)}")
+    assert(!optimized.contains("zip_with"),
+      s"zip_with survived fusion:\n${optimized.take(2000)}")
+  }
+
   test("join_theta_range banding joins on equi keys (hash/SMJ, never BNLJ)") {
     val plan = formatted(SparkEntry.queries("join_theta_range")(spark, sf))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))

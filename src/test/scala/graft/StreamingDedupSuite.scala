@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Streaming dedup + stream-stream join: the streaming halves of the
+  * LLM-pipeline story (continuous ingestion dedup; enrichment joins). */
+class StreamingDedupSuite extends SparkSpec {
+
+  private def eventsDir: String = {
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming dropDuplicates with watermark dedups per user+type") {
+    val dir = eventsDir
+    val q = Streams.fileSource(spark, dir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("sdedup_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sdedup_sink").count()
+      val batch = Tables.t(spark, sf, "events")
+        .select("user_id", "event_type").distinct().count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("stream-stream self join: purchases enriched with signups in-window") {
+    val dir = eventsDir
+    val src = Streams.fileSource(spark, dir)
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "24 hours")
+    val signups = src.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      .withWatermark("s_ts", "24 hours")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_sink").count()
+      // batch equivalent on the same window condition
+      val e = Tables.t(spark, sf, "events")
+      val bp = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val bs = e.where(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+      val batch = bp.join(bs,
+        col("p_user") === col("s_user") &&
+          col("s_ts") <= col("p_ts") &&
+          col("s_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS")).count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
