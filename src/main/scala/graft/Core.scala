@@ -97,22 +97,31 @@ object Par {
   /** Oracle fragment matching [[davg]]. */
   def oAvg(x: String): String = s"(${oSum(x)} / count($x))"
 
-  /** Sample stddev via exact decimal moments: sqrt((ss - s*s/n)/(n-1)) with
-    * all the outer arithmetic in IEEE double on both engines. */
+  /** Sample stddev of a 2-dp money column via exact SCALE-0 decimal moments
+    * in cents: sqrt((ss - s*s/n)/(n-1))/100 with the outer arithmetic in
+    * IEEE double on both engines. Scale-0 matters: DuckDB's decimal→double
+    * conversion double-rounds for scale>0 once the scaled int128 exceeds
+    * 2^53 (surfaced at sf0.1), while scale-0 converts with one rounding on
+    * both engines at any magnitude. */
+  /** Constant centering offset (cents). Any constant is mathematically
+    * inert for stddev; keeping deviations small keeps Σdc² below 2^63,
+    * where DuckDB's int128→double conversion stops being correctly
+    * rounded (hi·2^64 + lo float math) while Java's BigDecimal is. */
+  private val StdOffsetCents = 5000000L
+
   def dstd(c: Column): Column = {
+    val dc = ((c * lit(100)).cast("decimal(19,0)") - lit(StdOffsetCents))
     val n = count(c).cast("double")
-    val s = dsum(c)
-    // square in decimal (factors exact) — squaring the double first leaves
-    // ~ulp noise that the two engines round differently at the decimal cast
-    val ss = sum(c.cast("decimal(18,6)") * c.cast("decimal(18,6)")).cast("double")
-    sqrt((ss - s * s / n) / (n - lit(1.0)))
+    val s = sum(dc).cast("double")
+    val ss = sum(dc * dc).cast("double")
+    sqrt((ss - s * s / n) / (n - lit(1.0))) / lit(100.0)
   }
 
   def oStd(x: String): String = {
+    val dc = s"(CAST(($x)*100 AS DECIMAL(19,0)) - $StdOffsetCents)"
     val n = s"CAST(count($x) AS DOUBLE)"
-    val s = oSum(x)
-    // DECIMAL(19,…) on the DuckDB side forces int128 storage (18 overflows)
-    val ss = s"CAST(sum(CAST(($x) AS DECIMAL(19,6)) * CAST(($x) AS DECIMAL(19,6))) AS DOUBLE)"
-    s"sqrt(($ss - $s*$s/$n)/($n - 1.0))"
+    val s = s"CAST(sum($dc) AS DOUBLE)"
+    val ss = s"CAST(sum($dc * $dc) AS DOUBLE)"
+    s"(sqrt(($ss - $s*$s/$n)/($n - 1.0)) / 100.0)"
   }
 }
