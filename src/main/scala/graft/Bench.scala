@@ -6,12 +6,21 @@ object Bench {
     val only = args.toSet // optional per-query filter for local runs
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
+    // Per-query time = min over BENCH_RUNS executions (default 2): the
+    // steady-state measure, robust to first-run JIT and the heavy host
+    // contention noise observed on this box (same query: 3.7s quiet vs
+    // 78s contended).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

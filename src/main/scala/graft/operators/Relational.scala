@@ -74,6 +74,23 @@ object Relational {
               FROM orders WHERE o_totalprice > 100000
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // ORC round-trip: the third columnar format (vectorized reader, same
+    // pushdown machinery as parquet).
+    "scan_orc_rt" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        L(s, d).where(col("l_discount") >= 0.05)
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+              FROM lineitem WHERE l_discount >= 0.05
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // JSON-lines round-trip with declared read schema (lossless: doubles
     // serialize shortest-repr); oracle checks the equivalent aggregate on
     // the source table.
@@ -410,6 +427,24 @@ object Relational {
                      sum(l_quantity) AS sum_qty, count(*) AS cnt
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
               ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // CUBE: all 4 grouping-set combinations, with GROUPING() disambiguating
+    // super-aggregate NULLs from data NULLs.
+    "agg_cube" -> Q(
+      (s, d) => L(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
+          grouping_id().cast("bigint").as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                     sum(l_quantity) AS sum_qty,
+                     CAST(grouping(l_returnflag)*2 + grouping(l_linestatus)
+                       AS BIGINT) AS gid
+              FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                       l_linestatus ASC NULLS FIRST""")),
 
     // Pivot with explicit value list (required at scale — implicit pivot
     // runs a driver-side distinct first). Missing cells → 0.
