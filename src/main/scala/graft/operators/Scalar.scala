@@ -132,6 +132,26 @@ object Scalar {
                      len(list_filter(embedding, x -> x > 0.0)) AS n_pos
               FROM embeddings ORDER BY vec_id""")),
 
+    // Bitwise surface: and/or/xor/shift/bit_count over integer keys.
+    "fn_bits" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        (col("p_partkey").bitwiseAND(lit(255L))).as("lo8"),
+        (col("p_partkey").bitwiseOR(lit(16L))).as("or16"),
+        (col("p_partkey").bitwiseXOR(col("p_size").cast("bigint"))).as("xs"),
+        expr("shiftleft(p_partkey, 3)").as("shl3"),
+        expr("shiftright(p_partkey, 2)").as("shr2"),
+        expr("bit_count(p_partkey)").cast("bigint").as("pop"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     p_partkey & 255 AS lo8,
+                     p_partkey | 16 AS or16,
+                     xor(p_partkey, CAST(p_size AS BIGINT)) AS xs,
+                     p_partkey << 3 AS shl3,
+                     p_partkey >> 2 AS shr2,
+                     CAST(bit_count(p_partkey) AS BIGINT) AS pop
+              FROM part ORDER BY p_partkey""")),
+
     "fn_json" -> Q(
       (s, d) => E(s, d).select(
         col("event_id"),

@@ -108,10 +108,12 @@ object Text {
     // both engines; Spark lambda index is 0-based, DuckDB's 1-based).
     "text_ngrams" -> Q(
       (s, d) => D(s, d)
+        .select(toks.as("t")) // project once — split() inside the lambda
+                              // would re-tokenize per element (O(n²))
         .select(explode(filter(
-          transform(toks, (x, i) =>
-            when(i < size(toks) - 1,
-              concat_ws(" ", x, element_at(toks, i + lit(2))))),
+          transform(col("t"), (x, i) =>
+            when(i < size(col("t")) - 1,
+              concat_ws(" ", x, element_at(col("t"), i + lit(2))))),
           _.isNotNull)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
