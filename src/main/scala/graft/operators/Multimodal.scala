@@ -68,6 +68,19 @@ object Multimodal {
           element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length"))
         .orderBy("file_name"),
+      None),
+
+    // Custom DataSource V2 block connector (graft.sources.BlockSource):
+    // split-planned, column-pruned, deterministic — the reference's
+    // block-grid ingest as a first-class Spark source. Synthetic (no
+    // files), so no DuckDB oracle → rows-only check.
+    "scan_blocks" -> Q(
+      (s, d) => s.read.format("graft-blocks")
+        .option("blocks", 64).option("blockLen", 256).load()
+        .select(col("block_id"), col("grid_x"), col("grid_y"), col("n_bytes"),
+          expr("aggregate(payload, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
+            .as("payload_sum"))
+        .orderBy("block_id"),
       None)
   )
 }
