@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic-law properties on ScalaCheck-generated data (SURVEY.md §5.3):
+  * engine-level invariants that must hold for ANY input, not just the
+  * fixtures. (Direct Gen sampling — the scalatest↔scalacheck bridge
+  * artifact isn't in the offline cache.) */
+class PropertySuite extends SparkSpec {
+
+  private val rowsGen: Gen[List[(Long, Double)]] = Gen.listOf(Gen.zip(
+    Gen.chooseNum(0L, 20L), Gen.chooseNum(-100.0, 100.0)))
+
+  /** Deterministic multi-sample driver. */
+  private def forSamples[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      val params = Gen.Parameters.default.withSize(40)
+      body(g.pureApply(params, Seed(42L + i)))
+    }
+
+  test("filter commutes with projection") {
+    forSamples(rowsGen) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("k", "v")
+      val a = df.filter(col("v") > 0).select(col("k"), (col("v") * 2).as("w"))
+      val b = df.select(col("k"), (col("v") * 2).as("w")).filter(col("w") > 0)
+      assert(a.collect().map(_.toString).sorted.toSeq ==
+        b.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("union count = sum of counts; distinct union is idempotent") {
+    forSamples(Gen.zip(rowsGen, rowsGen)) { case (xs, ys) =>
+      import spark.implicits._
+      val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
+      assert(a.union(b).count() == xs.length + ys.length)
+      val u = a.union(b).distinct()
+      assert(u.union(u).distinct().count() == u.count())
+    }
+  }
+
+  test("semi-join rows are a subset of left; semi + anti partition the left") {
+    forSamples(Gen.zip(rowsGen, rowsGen)) { case (xs, ys) =>
+      import spark.implicits._
+      val a = xs.toDF("k", "v"); val b = ys.toDF("k", "v")
+      val semi = a.join(b, Seq("k"), "left_semi").count()
+      val anti = a.join(b, Seq("k"), "left_anti").count()
+      assert(semi + anti == xs.length)
+    }
+  }
+
+  test("dedup (keep-first by key) is idempotent") {
+    forSamples(rowsGen) { xs =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = xs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      def dedup(d: org.apache.spark.sql.DataFrame) = d
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy("id")))
+        .where(col("rn") === 1).drop("rn")
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.collect().map(_.toString).sorted.toSeq ==
+        twice.collect().map(_.toString).sorted.toSeq)
+    }
+  }
+
+  test("histogram bin counts always sum to row count") {
+    forSamples(rowsGen) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("k", "v")
+      val binned = df.groupBy(floor(col("v") / 10).as("bin")).count()
+      assert(binned.agg(sum("count")).head.get(0) ==
+        (if (xs.isEmpty) null else xs.length.toLong))
+    }
+  }
+
+  test("exact decimal sum is partition-count invariant (bit-exact)") {
+    forSamples(rowsGen) { xs =>
+      if (xs.nonEmpty) {
+        import spark.implicits._
+        val df = xs.toDF("k", "v")
+        val s1 = df.repartition(1).agg(Par.dsum(col("v"))).head.getDouble(0)
+        val s7 = df.repartition(7).agg(Par.dsum(col("v"))).head.getDouble(0)
+        assert(s1 == s7)
+      }
+    }
+  }
+
+  test("session count never exceeds event count and is ≥ 1 per active user") {
+    forSamples(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L),
+      Gen.chooseNum(0L, 100000L)))) { xs =>
+      if (xs.nonEmpty) {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val df = xs.zipWithIndex
+          .map { case ((u, t), i) => (u, t, i.toLong) }
+          .toDF("user_id", "t", "id")
+        val byT = Window.partitionBy("user_id").orderBy("t", "id")
+        val sessions = df
+          .withColumn("gap", col("t") - lag("t", 1).over(byT))
+          .withColumn("new", when(col("gap").isNull || col("gap") > 1000, 1L)
+            .otherwise(0L))
+          .agg(sum("new")).head.getLong(0)
+        val users = xs.map(_._1).distinct.length
+        assert(sessions >= users && sessions <= xs.length)
+      }
+    }
+  }
+}
