@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: graft.Verify <sfDir> <outDir> [queryKey ...]")
+      sys.exit(2)
+    }
     val sfDir = args(0); val outDir = args(1)
     val only = args.drop(2).toSet // optional per-query filter for local runs
     val spark = Sessions.local("graft-verify")
