@@ -16,15 +16,21 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
-            catch { case _: Throwable => false }
+          // noop sink executes the FULL plan (count() would let Catalyst
+          // eliminate the final sort and prune projected expressions,
+          // timing a near-metadata scan for projection-only queries)
+          val ok = try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            true
+          } catch { case _: Throwable => false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         name -> (if (times.contains(-1.0)) -1.0 else times.min)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries report -1 individually but must not skew the total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -10,15 +10,21 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.withExtensions(new GraftExtensions)` — Sessions.local does). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def binary(name: String)(f: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = { children =>
+      if (children.size != 2)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${children.size}")
+      f(children.head, children(1))
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+      binary("cosine_sim")(CosineSim)))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[functions.DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) =>
-        functions.DotProduct(children.head, children(1))))
+      binary("dot_product")(functions.DotProduct)))
     ext.injectOptimizerRule(plans.FuseVectorFolds)
   }
 }

@@ -38,7 +38,7 @@ object PrintInventory {
     sb.append("| query | rows | shuffles | oracle |\n|---|---:|---:|---|\n")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
-      val rows = df.count()
+      val rows = df.collect().length // executes THIS QueryExecution → AQE-final
       val shuffles = countShuffles(df.queryExecution.executedPlan)
       val o = if (oracled(name)) "DuckDB hash-match" else "rows-only"
       sb.append(s"| `$name` | $rows | $shuffles | $o |\n")

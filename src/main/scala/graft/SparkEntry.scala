@@ -38,7 +38,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.build }
 
-  /** DuckDB-runnable oracle SQL per SQL-expressible query key. */
+  /** DuckDB-runnable oracle SQL per SQL-expressible query key. (No
+    * whitespace normalization: a regex over the whole string would also
+    * rewrite runs of spaces inside quoted literals; the JSON dump in
+    * Verify escapes newlines safely.) */
   def oracleSql: Map[String, String] =
-    all.collect { case (k, Q(_, Some(sql))) => k -> sql.replaceAll("\\s+", " ").trim }
+    all.collect { case (k, Q(_, Some(sql))) => k -> sql.trim }
 }

@@ -35,16 +35,22 @@ case class CosineSim(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    // mismatched lengths or a null element → NULL, matching the
+    // zip_with/aggregate HOF formulation (null pads/products poison it)
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -57,14 +63,22 @@ case class CosineSim(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-        double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        for (int $i = 0; $i < $n; $i++) {
-          double $xi = (double) $a.getFloat($i);
-          double $yi = (double) $b.getFloat($i);
-          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0, $na = 0.0, $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            double $xi = (double) $a.getFloat($i);
+            double $yi = (double) $b.getFloat($i);
+            $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+          }
+          if (!${ev.isNull}) {
+            ${ev.value} = $dot /
+              (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

@@ -41,6 +41,8 @@ case class DotProduct(left: Expression, right: Expression)
       var i = 0
       val n = x.numElements()
       while (i < n) {
+        // a null element poisons the sum, like the HOF fold it replaces
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
@@ -60,9 +62,10 @@ case class DotProduct(left: Expression, right: Expression)
         } else {
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
           }
-          ${ev.value} = $s;
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
       """
     })

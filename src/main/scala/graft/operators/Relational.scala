@@ -58,7 +58,7 @@ object Relational {
     // equivalent aggregate on the source table (round-trip must be lossless).
     "scan_csv_rt" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_csv" // fixed path: overwrite reuses it
         O(s, d).where(col("o_totalprice") > 100000)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -78,7 +78,7 @@ object Relational {
     // pushdown machinery as parquet).
     "scan_orc_rt" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_orc" // fixed path: overwrite reuses it
         L(s, d).where(col("l_discount") >= 0.05)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").orc(tmp)
@@ -96,7 +96,7 @@ object Relational {
     // the source table.
     "scan_json_rt" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_json" // fixed path: overwrite reuses it
         C(s, d).where(col("c_acctbal") > 0)
           .select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").json(tmp)

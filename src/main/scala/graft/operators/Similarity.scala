@@ -113,6 +113,7 @@ object Similarity {
           .withColumn("arn", row_number().over(wAssign))
           .where(col("arn") === 1)
           .select(col("vec_id"), col("embedding"), col("cid"))
+          .persist() // reused as probe AND corpus side — assign once
         val probes = bucketed.where(col("vec_id") < PROBES)
           .select(col("vec_id").as("pid"), col("embedding").as("pemb"),
             col("cid").as("pcid"))
