@@ -30,6 +30,8 @@ case class CosineSim(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // can return NULL even for non-null inputs (length mismatch/null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {

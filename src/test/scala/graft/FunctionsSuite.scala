@@ -23,6 +23,34 @@ class FunctionsSuite extends SparkSpec {
     }
   }
 
+  test("cosine_sim/dot_product null semantics match the HOF formulation") {
+    import spark.implicits._
+    val df = Seq(1).toDF("x")
+    // length mismatch → NULL (zip_with pads with null)
+    val mism = df.select(
+      expr("cosine_sim(array(1.0F, 2.0F), array(1.0F))").as("c"),
+      expr("dot_product(array(1.0F, 2.0F), array(1.0F))").as("d"),
+      expr("""aggregate(zip_with(array(1.0F, 2.0F), array(1.0F),
+                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0.0 AS DOUBLE), (s, p) -> s + p)""").as("hof")).head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1) && mism.isNullAt(2))
+    // null element → NULL (poisons the fold)
+    val withNull = df.select(
+      expr("cosine_sim(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F))")
+        .as("c"),
+      expr("dot_product(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F))")
+        .as("d"),
+      expr("""aggregate(zip_with(array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F),
+                (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0.0 AS DOUBLE), (s, p) -> s + p)""").as("hof")).head()
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1) && withNull.isNullAt(2))
+    // null argument → NULL
+    val nullArg = df.select(
+      expr("cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(1.0F))").as("c"))
+      .head()
+    assert(nullArg.isNullAt(0))
+  }
+
   test("cosine_sim of a vector with itself is 1.0") {
     val one = Tables.t(spark, sf, "embeddings").limit(5)
       .select(expr("cosine_sim(embedding, embedding)").as("c")).collect()
