@@ -233,32 +233,34 @@ object Text {
     // 100 TB the fingerprint is the grouping key (band the 16 bits into 4
     // nibbles → hash-join candidates, like MinHash banding).
     "dedup_simhash" -> Q(
-      (s, d) => D(s, d).select(
-        col("doc_id"),
-        expr("""aggregate(
-                  transform(sequence(0, 15), b ->
-                    IF(2 * size(filter(
-                         transform(split(text, ' '),
-                           t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
-                                * CAST(2654435761 AS BIGINT) % 4294967296),
-                         v -> ((v >> b) & 1) = 1))
-                       > size(split(text, ' ')),
-                       shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-                  CAST(0 AS BIGINT), (a, x) -> a + x)""").as("simhash"))
+      (s, d) => D(s, d)
+        .select(col("doc_id"), // hash list projected ONCE, not per bit
+          expr("""transform(split(text, ' '),
+                    t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                         * CAST(2654435761 AS BIGINT) % 4294967296)""")
+            .as("hs"))
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    transform(sequence(0, 15), b ->
+                      IF(2 * size(filter(hs, v -> ((v >> b) & 1) = 1))
+                         > size(hs),
+                         shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+                    CAST(0 AS BIGINT), (a, x) -> a + x)""").as("simhash"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      list_reduce(list_prepend(CAST(0 AS BIGINT),
                        list_transform(generate_series(0, 15), b ->
-                         CASE WHEN 2 * len(list_filter(
-                                    list_transform(string_split(text, ' '),
-                                      t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
-                                           * CAST(2654435761 AS BIGINT) % 4294967296),
-                                    v -> ((v >> b) & 1) = 1))
-                                  > len(string_split(text, ' '))
+                         CASE WHEN 2 * len(list_filter(hs, v -> ((v >> b) & 1) = 1))
+                                  > len(hs)
                               THEN (CAST(1 AS BIGINT) << b)
                               ELSE CAST(0 AS BIGINT) END)),
                        (a, x) -> a + x) AS simhash
-              FROM documents ORDER BY doc_id""")),
+              FROM (SELECT doc_id,
+                           list_transform(string_split(text, ' '),
+                             t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                                  * CAST(2654435761 AS BIGINT) % 4294967296) AS hs
+                    FROM documents)
+              ORDER BY doc_id""")),
 
     // Heuristic language ID: stopword-profile score per doc (deterministic
     // n-gram-style heuristic; the label set here is synthetic so the point
