@@ -10,7 +10,7 @@ object Bench {
     // steady-state measure, robust to first-run JIT and the heavy host
     // contention noise observed on this box (same query: 3.7s quiet vs
     // 78s contended).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
