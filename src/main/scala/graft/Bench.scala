@@ -1,37 +1,49 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val only = args.toSet // optional per-query filter for local runs
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    // Per-query time = min over BENCH_RUNS executions (default 2): the
-    // steady-state measure, robust to first-run JIT and the heavy host
-    // contention noise observed on this box (same query: 3.7s quiet vs
-    // 78s contended).
+    // Per-query time = min over SPARK_GRAFT_BENCH_RUNS (default 3) FULL-SUITE
+    // passes, not back-to-back repeats of one query: this host shows
+    // minutes-long contention bursts (same query 3.7s quiet vs 78s
+    // contended), and consecutive repeats all land inside one burst while a
+    // later pass escapes it. Pass 1 also absorbs JIT for every query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          // noop sink executes the FULL plan (count() would let Catalyst
-          // eliminate the final sort and prune projected expressions,
-          // timing a near-metadata scan for projection-only queries)
-          val ok = try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            true
-          } catch { case _: Throwable => false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        }
-        name -> (if (times.contains(-1.0)) -1.0 else times.min)
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    val times = collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to runs; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      // noop sink executes the FULL plan (count() would let Catalyst
+      // eliminate the final sort and prune projected expressions,
+      // timing a near-metadata scan for projection-only queries)
+      val t = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      times(name) = t :: times.getOrElse(name, Nil)
+    }
+    // any failed pass marks the query failed (-1); failures are counted
+    // separately and never skew the total
+    val results = names.map { case (n, _) =>
+      val ts = times(n)
+      n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+    }
+    val nFailed = results.count(_._2 < 0)
+    def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
+    // 3-decimal formatting keeps the whole line under ~1.8 KB so the
+    // driver's stdout tail capture sees it in full (r1's line was cut)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    // failed queries report -1 individually but must not skew the total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}""")
     spark.stop()
   }
 }

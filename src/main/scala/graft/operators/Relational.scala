@@ -33,6 +33,11 @@ object Relational {
   /** l_extendedprice*(1-l_discount) */
   private val discPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Round-trip scratch dir, unique per Spark application: a parallel bench
+    * + verify (or forked test JVMs) must not overwrite each other mid-read. */
+  private def rtTmp(s: SparkSession, fmt: String): String =
+    sys.props("java.io.tmpdir") + s"/graft_rt_${fmt}_${s.sparkContext.applicationId}"
+
   // ---------------------------------------------------------------- scans
 
   val defs: Map[String, Q] = Map(
@@ -58,7 +63,7 @@ object Relational {
     // equivalent aggregate on the source table (round-trip must be lossless).
     "scan_csv_rt" -> Q(
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_csv" // fixed path: overwrite reuses it
+        val tmp = rtTmp(s, "csv") // per-session path: concurrent sessions can't clobber each other
         O(s, d).where(col("o_totalprice") > 100000)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -78,7 +83,7 @@ object Relational {
     // pushdown machinery as parquet).
     "scan_orc_rt" -> Q(
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_orc" // fixed path: overwrite reuses it
+        val tmp = rtTmp(s, "orc") // per-session path: concurrent sessions can't clobber each other
         L(s, d).where(col("l_discount") >= 0.05)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").orc(tmp)
@@ -96,7 +101,7 @@ object Relational {
     // the source table.
     "scan_json_rt" -> Q(
       (s, d) => {
-        val tmp = sys.props("java.io.tmpdir") + "/graft_rt_json" // fixed path: overwrite reuses it
+        val tmp = rtTmp(s, "json") // per-session path: concurrent sessions can't clobber each other
         C(s, d).where(col("c_acctbal") > 0)
           .select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").json(tmp)
@@ -158,15 +163,22 @@ object Relational {
     // Element-wise increment over the vector column — the reference's
     // flagship "incrementation" pipeline (map over every element of every
     // block, N times): a pure narrow map, no shuffle, stays in codegen.
+    // Output is posexploded to scalars: the driver's compare sorts row
+    // values, and array cells are unhashable there (r1 lesson).
     "map_increment" -> Q(
-      (s, d) => Tables.t(s, d, "embeddings").select(
-        col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE) + 1.0)").as("inc"))
-        .orderBy("vec_id"),
-      Some("""SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE) + 1.0)
-                       AS inc
-              FROM embeddings ORDER BY vec_id""")),
+      (s, d) => Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE) + 1.0)")))
+        .select(col("vec_id"), col("pos").cast("bigint").as("pos"),
+          col("col").as("val"))
+        .orderBy("vec_id", "pos"),
+      Some("""SELECT vec_id, pos, val FROM (
+                SELECT vec_id,
+                       unnest(range(0, len(embedding))) AS pos,
+                       unnest(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) + 1.0)) AS val
+                FROM embeddings)
+              ORDER BY vec_id, pos""")),
 
     // ----------------------------------------------------------------- joins
 
@@ -375,15 +387,22 @@ object Relational {
                      count(*) AS cnt
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
 
+    // Explicit IS NOT NULL guard on the multi-column distinct: Spark's
+    // countDistinct(a, b) skips rows where EITHER column is null, while
+    // DuckDB's count(DISTINCT (a, b)) counts row-structs containing null
+    // fields — the guard makes parity semantic, not a data accident.
     "agg_distinct" -> Q(
-      (s, d) => L(s, d).agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
+      (s, d) => L(s, d)
+        .where(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull)
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status")),
       Some("""SELECT count(DISTINCT l_partkey) AS n_parts,
                      count(DISTINCT l_suppkey) AS n_supps,
                      count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
-              FROM lineitem""")),
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL""")),
 
     // HLL sketch — no SQL oracle (driver records rows-only check).
     "agg_approx_distinct" -> Q(
@@ -393,11 +412,16 @@ object Relational {
       None),
 
     // Quantile sketch (Greenwald-Khanna) — sketch-dependent, rows-only check;
-    // the exact-percentile twin is oracled below.
+    // the exact-percentile twin is oracled below. Quartiles are emitted as
+    // three scalar columns (array cells break the driver's row-sort compare).
     "agg_approx_quantile" -> Q(
       (s, d) => L(s, d).groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
-          .as("approx_q"))
+          .as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("q1"),
+          element_at(col("q"), 2).as("median"),
+          element_at(col("q"), 3).as("q3"))
         .orderBy("l_returnflag"),
       None),
 
@@ -520,15 +544,22 @@ object Relational {
               ORDER BY l_orderkey, l_linenumber, measure, val""")),
 
     // collect_list is order-nondeterministic → sort_array on the Spark side,
-    // list(... ORDER BY ...) on DuckDB's.
+    // string_agg(... ORDER BY ...) on DuckDB's. Lists are emitted as joined
+    // strings (sorted numerically BEFORE the string cast — lexical sort
+    // would put "10" before "2"): scalar cells keep the driver's row-sort
+    // compare happy.
     "agg_collect" -> Q(
       (s, d) => L(s, d).groupBy("l_orderkey")
-        .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
-             sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .agg(
+          array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("lines"),
+          array_join(sort_array(collect_set(col("l_returnflag"))), ",")
+            .as("flags"))
         .orderBy("l_orderkey"),
       Some("""SELECT l_orderkey,
-                     list(l_linenumber ORDER BY l_linenumber) AS lines,
-                     list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+                     string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines,
+                     string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)
+                       AS flags
               FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
 
     // ------------------------------------------------- sort / limit / sets

@@ -113,8 +113,11 @@ object Scalar {
         element_at(col("embedding"), 1).as("first_el"),
         aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double")).as("vsum"),
-        expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2.0)")
-          .as("head2x"),
+        // slice+transform, folded to a scalar with the same pinned fold as
+        // vsum (array-valued cells break the driver's row-sort compare)
+        aggregate(
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE) * 2.0)"),
+          lit(0.0), (acc, x) => acc + x).as("head2x_sum"),
         array_max(col("embedding")).as("vmax"),
         array_min(col("embedding")).as("vmin"),
         size(filter(col("embedding"), _ > 0.0f)).cast("bigint").as("n_pos"))
@@ -125,8 +128,10 @@ object Scalar {
                      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(embedding, x -> CAST(x AS DOUBLE))),
                        (acc, x) -> acc + x) AS vsum,
-                     list_transform(embedding[1:4], x -> CAST(x AS DOUBLE) * 2.0)
-                       AS head2x,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding[1:4],
+                         x -> CAST(x AS DOUBLE) * 2.0)),
+                       (acc, x) -> acc + x) AS head2x_sum,
                      list_max(embedding) AS vmax,
                      list_min(embedding) AS vmin,
                      len(list_filter(embedding, x -> x > 0.0)) AS n_pos
@@ -175,13 +180,13 @@ object Scalar {
             array(lit("size"), lit("retail")),
             array(col("p_size").cast("double"), col("p_retailprice"))),
           "retail").as("m_retail"),
-        map_keys(
-          map_from_arrays(array(lit("a"), lit("b")), array(lit(1), lit(2))))
-          .as("ks"))
+        array_join(map_keys(
+          map_from_arrays(array(lit("a"), lit("b")), array(lit(1), lit(2)))),
+          ",").as("ks"))
         .orderBy("p_partkey"),
       Some("""SELECT p_partkey,
                      p_retailprice AS m_retail,
-                     ['a', 'b'] AS ks
+                     'a,b' AS ks
               FROM part ORDER BY p_partkey""")),
 
     "fn_cond" -> Q(

@@ -112,8 +112,12 @@ object Similarity {
             dist2(col("embedding"), col("cemb")).as("d2"))
           .withColumn("arn", row_number().over(wAssign))
           .where(col("arn") === 1)
+          // reused as probe AND corpus side; deliberately NOT persisted —
+          // a builder-scope persist can't be unpersisted after the caller's
+          // action, and a lingering cache would make Bench's min-of-N
+          // measure cached reruns for this one query. The re-computed
+          // assignment is a 4-centroid broadcast crossJoin — cheap.
           .select(col("vec_id"), col("embedding"), col("cid"))
-          .persist() // reused as probe AND corpus side — assign once
         val probes = bucketed.where(col("vec_id") < PROBES)
           .select(col("vec_id").as("pid"), col("embedding").as("pemb"),
             col("cid").as("pcid"))

@@ -8,7 +8,6 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 connector modeling the reference's block-parallel volume
   * ingest: a volume is a grid of blocks, each row one block with typed
@@ -112,7 +111,8 @@ private class BlockReaderFactory(blockLen: Int, required: StructType)
             // only materialized when the payload column survives pruning
             org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
               Array.tabulate(blockLen)(i => BlockSource.element(id.toLong, i)))
-          case other => UTF8String.fromString(other)
+          case other => throw new IllegalStateException(
+            s"BlockSource: unknown required column '$other'")
         }
         InternalRow.fromSeq(values.toIndexedSeq)
       }
