@@ -594,7 +594,140 @@ object Relational {
         .except(O(s, d).select(col("o_custkey").as("k")))
         .orderBy("k"),
       Some("""SELECT c_custkey AS k FROM customer
-              EXCEPT SELECT o_custkey FROM orders ORDER BY k"""))
+              EXCEPT SELECT o_custkey FROM orders ORDER BY k""")),
+
+    // ------------------------------------------- CDC / sampling / layout
+
+    // MERGE/upsert semantics (the CDC apply step every incremental pipeline
+    // needs): target FULL OUTER JOIN delta on the key, delta wins per
+    // column. The delta here is derived deterministically from orders
+    // (keys %97 → updates, keys %101 shifted → inserts). At scale this is
+    // one key-partitioned shuffle join (or zero-shuffle if both sides are
+    // bucketed by the key, as ScaleSuite's bucketed-join path shows).
+    "merge_upsert" -> Q(
+      (s, d) => {
+        val o = O(s, d)
+        val upd = o.where(pmod(col("o_orderkey"), lit(97)) === 0)
+          .select(col("o_orderkey").as("d_key"), lit("U").as("d_status"),
+            (col("o_totalprice") * 1.1).as("d_price"))
+        val ins = o.where(pmod(col("o_orderkey"), lit(101)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("d_key"),
+            lit("I").as("d_status"), lit(42.0).as("d_price"))
+        o.join(upd.unionByName(ins), col("o_orderkey") === col("d_key"), "full")
+          .select(coalesce(col("d_status"), col("o_orderstatus")).as("st"),
+            coalesce(col("d_price"), col("o_totalprice")).as("tp"))
+          .groupBy("st")
+          .agg(count(lit(1)).as("cnt"), dsum(col("tp")).as("total"))
+          .orderBy("st")
+      },
+      Some(s"""WITH delta AS (
+                SELECT o_orderkey AS d_key, 'U' AS d_status,
+                       o_totalprice * 1.1 AS d_price
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 100000000, 'I', 42.0
+                FROM orders WHERE o_orderkey % 101 = 0),
+              merged AS (
+                SELECT coalesce(d_status, o_orderstatus) AS st,
+                       coalesce(d_price, o_totalprice) AS tp
+                FROM orders FULL JOIN delta ON o_orderkey = d_key)
+              SELECT st, count(*) AS cnt, ${oSum("tp")} AS total
+              FROM merged GROUP BY st ORDER BY st""")),
+
+    // Deterministic sampling: key-mod selection (at scale: hash(key) % N),
+    // which is scan-local — pushed to the data, no shuffle, and reproducible
+    // across runs/engines, unlike rand()-based Bernoulli sampling.
+    "sample_hash" -> Q(
+      (s, d) => O(s, d).where(pmod(col("o_orderkey"), lit(10)) === 3)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus"),
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+                     ${oSum("o_totalprice")} AS total
+              FROM orders WHERE o_orderkey % 10 = 3
+              GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Hive-style partitioned layout: write events partitioned by event_type,
+    // read back with a partition filter — the filter prunes whole
+    // directories (PartitionFilters in the scan, zero data read for pruned
+    // partitions), THE layout lever for 100 TB multi-tenant corpora.
+    "scan_partitioned" -> Q(
+      (s, d) => {
+        val tmp = rtTmp(s, "part")
+        E(s, d).write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        s.read.parquet(tmp)
+          .where(col("event_type").isin("purchase", "signup"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value
+              FROM events WHERE event_type IN ('purchase', 'signup')
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Higher central moments — skewness & excess kurtosis — from exact
+    // small-decimal power sums (the built-ins are order-dependent float and
+    // definition-divergent across engines). l_quantity is integral ≤ 50, so
+    // x⁴ sums stay within DECIMAL(23,0) exactly; the moment formulas then
+    // run in IEEE double with identical trees (m2^1.5 as m2*sqrt(m2) —
+    // sqrt is correctly rounded on both engines, pow() is not).
+    "agg_skew_kurt" -> Q(
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(5,0)")
+        val n = count(lit(1)).cast("double")
+        def ds(c: Column) = sum(c).cast("double")
+        val s1 = ds(x); val s2 = ds(x * x)
+        val s3 = ds(x * x * x); val s4 = ds(x * x * x * x)
+        val mu = s1 / n
+        val m2 = s2 / n - mu * mu
+        val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+        val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+          lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+        L(s, d).groupBy("l_returnflag")
+          .agg((m3 / (m2 * sqrt(m2))).as("skew"),
+            (m4 / (m2 * m2) - lit(3.0)).as("kurt"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val x = "CAST(l_quantity AS DECIMAL(5,0))"
+        val n = "CAST(count(*) AS DOUBLE)"
+        def ds(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        val s1 = ds(x); val s2 = ds(s"$x*$x")
+        val s3 = ds(s"$x*$x*$x"); val s4 = ds(s"$x*$x*$x*$x")
+        val mu = s"($s1 / $n)"
+        val m2 = s"($s2 / $n - $mu * $mu)"
+        val m3 = s"($s3 / $n - 3.0 * $mu * ($s2 / $n) + 2.0 * $mu * $mu * $mu)"
+        val m4 = s"($s4 / $n - 4.0 * $mu * ($s3 / $n) + " +
+          s"6.0 * $mu * $mu * ($s2 / $n) - 3.0 * $mu * $mu * $mu * $mu)"
+        s"""SELECT l_returnflag,
+                   $m3 / ($m2 * sqrt($m2)) AS skew,
+                   $m4 / ($m2 * $m2) - 3.0 AS kurt,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }),
+
+    // Deterministic per-group mode (argmax with a pinned tiebreak) — the
+    // built-in mode() breaks ties arbitrarily on both engines. Count, then
+    // rank (count DESC, value ASC): two hash shuffles, no global sort.
+    "agg_mode" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("n").desc, col("l_quantity").asc)
+        L(s, d).groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, mode_qty, n FROM (
+                SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
+                       row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY count(*) DESC, l_quantity ASC) AS rn
+                FROM lineitem GROUP BY l_returnflag, l_quantity)
+              WHERE rn = 1 ORDER BY l_returnflag"""))
   )
 
   /** Flagship pricing summary, shared with SparkEntry.entry. */

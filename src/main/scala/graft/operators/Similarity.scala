@@ -208,6 +208,46 @@ object Similarity {
                 WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id)
               WHERE cos >= 0.35 ORDER BY ia, ib""")),
 
+    // Random-projection (sign) LSH: 8 deterministic pseudo-random
+    // hyperplanes (an LCG over the (plane, dim) index — identical integer
+    // arithmetic on both engines), each vector's bucket = the 8 sign bits
+    // of its projections. This is the bucketing step of sign-LSH ANN: at
+    // 100 TB the signature is a narrow scan-local map and candidate pairs
+    // are bucket-local (≈1/256 of the corpus per probe), like sim_ivf_topk
+    // but with no centroid pass. Output audits the bucket histogram.
+    "sim_rp_lsh" -> Q(
+      (s, d) => {
+        val bits = (0 until 8).map { j =>
+          val w = s"CAST((CAST(1103515245 AS BIGINT) * (${j * 64} + k - 1)" +
+            s" + 12345) % 2001 - 1000 AS DOUBLE)"
+          expr(s"""IF(aggregate(
+                     transform(sequence(1, 64),
+                       k -> CAST(element_at(embedding, k) AS DOUBLE) * $w),
+                     CAST(0.0 AS DOUBLE), (a, x) -> a + x) > 0.0,
+                   CAST(${1L << j} AS BIGINT), CAST(0 AS BIGINT))""")
+        }
+        V(s, d)
+          .select(col("vec_id"), col("label"), bits.reduceLeft(_ + _).as("sig"))
+          .groupBy("sig")
+          .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
+          .orderBy("sig")
+      },
+      Some {
+        def bit(j: Int) = {
+          val w = s"CAST((CAST(1103515245 AS BIGINT) * (${j * 64} + k - 1)" +
+            s" + 12345) % 2001 - 1000 AS DOUBLE)"
+          s"""CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(1, 65),
+                  k -> CAST(embedding[k] AS DOUBLE) * $w)),
+                (a, x) -> a + x) > 0.0
+              THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"""
+        }
+        val sig = (0 until 8).map(bit).mkString(" + ")
+        s"""SELECT sig, count(*) AS n_vecs, count(DISTINCT label) AS n_labels
+            FROM (SELECT vec_id, label, $sig AS sig FROM embeddings)
+            GROUP BY sig ORDER BY sig"""
+      }),
+
     // Documents ⋈ embeddings with a mixed text + vector predicate.
     "multimodal_join" -> Q(
       (s, d) => D(s, d)

@@ -283,6 +283,170 @@ object Text {
                              x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
                         / len(string_split(text, ' ')) AS en_score
                     FROM documents)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Shannon entropy of each source's language mix — the corpus-diversity
+    // audit a training-data pipeline runs before sampling. The -p·ln(p)
+    // fold is pinned in lang order on both engines; ln() is transcendental
+    // (last-ulp libm drift) → rounded at 6 dp like all ln/exp outputs.
+    "text_entropy" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("source")
+        D(s, d).groupBy("source", "lang").agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") / sum("n").over(w))
+          .groupBy("source")
+          .agg(
+            round(aggregate(
+              transform(sort_array(collect_list(struct(col("lang"), col("p")))),
+                st => -st.getField("p") * log(st.getField("p"))),
+              lit(0.0), (a, x) => a + x), 6).as("entropy"),
+            count(lit(1)).as("n_langs"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (SELECT source, lang, count(*) AS n
+                        FROM documents GROUP BY source, lang),
+              p AS (SELECT source, lang,
+                           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source)
+                             AS p
+                    FROM c)
+              SELECT source,
+                     round(list_reduce(list_prepend(0.0,
+                       list_transform(list(p ORDER BY lang), q -> -q * ln(q))),
+                       (a, x) -> a + x), 6) AS entropy,
+                     count(*) AS n_langs
+              FROM p GROUP BY source ORDER BY source""")),
+
+    // N-gram-Jaccard near-dup: 3-token shingles, document-frequency-pruned
+    // (df ≤ 20 — hot shingles like function words never join), then the
+    // same blocked inverted-index self-join as dedup_near. DF pruning is
+    // what keeps the pair count near-linear at 100 TB: candidate pairs per
+    // shingle are bounded by df², and the jaccard denominator uses the
+    // PRUNED set sizes on both engines (deterministic by construction).
+    "dedup_ngram" -> Q(
+      (s, d) => {
+        // tokens projected ONCE ("t") — split() inside the lambda would
+        // re-tokenize per element (O(n²), the text_ngrams lesson)
+        val shingles = array_distinct(filter(
+          transform(col("t"), (x, i) =>
+            when(i < size(col("t")) - 2,
+              concat_ws(" ", x, element_at(col("t"), i + lit(2)),
+                element_at(col("t"), i + lit(3))))),
+          _.isNotNull))
+        val sh = D(s, d).select(col("doc_id"), col("lang"), toks.as("t"))
+          .select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
+        val kept = sh.join(
+          sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
+            .where(col("df") <= 20), "sh")
+        val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+        val a = kept.select(col("lang"), col("sh"), col("doc_id").as("ia"))
+          .join(sizes.select(col("doc_id").as("ia"), col("nsh").as("na")), "ia")
+        val b = kept.select(col("lang").as("lang_b"), col("sh").as("sh_b"),
+            col("doc_id").as("ib"))
+          .join(sizes.select(col("doc_id").as("ib"), col("nsh").as("nb")), "ib")
+        a.join(b, col("lang") === col("lang_b") && col("sh") === col("sh_b") &&
+            col("ia") < col("ib"))
+          .groupBy("ia", "ib", "na", "nb")
+          .agg(count(lit(1)).as("common"))
+          .select(col("ia"), col("ib"),
+            (col("common").cast("double") /
+              (col("na") + col("nb") - col("common"))).as("jac"))
+          .where(col("jac") >= 0.4)
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH sh AS (
+                SELECT doc_id, lang,
+                       unnest(list_distinct(list_filter(
+                         list_transform(string_split(text, ' '), (x, i) ->
+                           CASE WHEN i < len(string_split(text, ' ')) - 1
+                                THEN x || ' ' || string_split(text, ' ')[i+1]
+                                       || ' ' || string_split(text, ' ')[i+2]
+                           END),
+                         y -> y IS NOT NULL))) AS sh
+                FROM documents),
+              kept AS (
+                SELECT sh.* FROM sh
+                JOIN (SELECT sh AS shk, count(DISTINCT doc_id) AS df
+                      FROM sh GROUP BY sh) d
+                  ON sh.sh = d.shk WHERE d.df <= 20),
+              sizes AS (SELECT doc_id, count(*) AS nsh FROM kept GROUP BY doc_id)
+              SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
+              FROM (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                           sa.nsh AS na, sb.nsh AS nb, count(*) AS common
+                    FROM kept a
+                    JOIN kept b ON a.lang = b.lang AND a.sh = b.sh
+                               AND a.doc_id < b.doc_id
+                    JOIN sizes sa ON sa.doc_id = a.doc_id
+                    JOIN sizes sb ON sb.doc_id = b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+              WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.4
+              ORDER BY ia, ib""")),
+
+    // Edit-distance (Levenshtein) fuzzy dedup over blocked candidates.
+    // Restricted to 'en' (ASCII): DuckDB's levenshtein counts bytes while
+    // Spark's counts codepoints — identical only on single-byte text.
+    // Blocking = (length-band, 8-char prefix) EQUALITY — a hash join, so
+    // the O(len²) DP runs only on pairs already sharing a prefix block
+    // (standard record-linkage blocking; trades recall on prefix-divergent
+    // dups for a pair count that stays near-linear at 100 TB). 17s → <1s
+    // at sf0.1 vs band-only blocking.
+    "dedup_edit" -> Q(
+      (s, d) => {
+        val e = D(s, d).where(col("lang") === "en").select(
+          col("doc_id"), expr("n_chars div 100").as("band"),
+          substring(lower(col("text")), 1, 40).as("pfx"))
+          .withColumn("blk", substring(col("pfx"), 1, 8))
+        val a = e.select(col("band"), col("blk"), col("doc_id").as("ia"),
+          col("pfx").as("pa"))
+        val b = e.select(col("band").as("band_b"), col("blk").as("blk_b"),
+          col("doc_id").as("ib"), col("pfx").as("pb"))
+        a.join(b, col("band") === col("band_b") && col("blk") === col("blk_b")
+            && col("ia") < col("ib"))
+          .select(col("ia"), col("ib"),
+            levenshtein(col("pa"), col("pb")).cast("bigint").as("dist"))
+          .where(col("dist") <= 5)
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH e AS (
+                SELECT doc_id, n_chars // 100 AS band,
+                       substring(lower(text), 1, 40) AS pfx,
+                       substring(lower(text), 1, 8) AS blk
+                FROM documents WHERE lang = 'en')
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+              FROM e a JOIN e b ON a.band = b.band AND a.blk = b.blk
+                               AND a.doc_id < b.doc_id
+              WHERE levenshtein(a.pfx, b.pfx) <= 5
+              ORDER BY ia, ib""")),
+
+    // Deterministic MinHash signature (4 permutations over the same token
+    // hash family as dedup_simhash) — constant-size mergeable sketch per
+    // doc; at 100 TB the signature columns band directly into LSH bucket
+    // joins (MLlib MinHashLSH is the tested very-large-scale twin).
+    "text_minhash" -> Q(
+      (s, d) => {
+        // hash list projected ONCE, not per signature column
+        def mh(a: Long, b: Long) = array_min(transform(col("hs"),
+          v => (v * a + b) % 1000000007L))
+        D(s, d).select(col("doc_id"),
+          expr("""transform(split(text, ' '),
+            t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                 * CAST(2654435761 AS BIGINT) % 4294967296)""").as("hs"))
+          .select(col("doc_id"),
+            mh(131L, 17L).as("mh0"), mh(137L, 19L).as("mh1"),
+            mh(139L, 23L).as("mh2"), mh(149L, 29L).as("mh3"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def mh(a: Int, b: Int) =
+          s"list_min(list_transform(hs, v -> (v * $a + $b) % 1000000007))"
+        s"""SELECT doc_id, ${mh(131, 17)} AS mh0, ${mh(137, 19)} AS mh1,
+                   ${mh(139, 23)} AS mh2, ${mh(149, 29)} AS mh3
+            FROM (SELECT doc_id,
+                         list_transform(string_split(text, ' '),
+                           t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
+                                * CAST(2654435761 AS BIGINT) % 4294967296) AS hs
+                  FROM documents)
+            ORDER BY doc_id"""
+      })
   )
 }

@@ -107,6 +107,134 @@ object TimeSeries {
               FROM events
               WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) - 21600000000
                                      FROM events)
-              GROUP BY event_type ORDER BY event_type"""))
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // Gap filling: hourly counts per event_type over the full [min,max]
+    // hour span, missing hours emitted as 0 (the time spine every
+    // time-series chart/train-data loader needs). Spine hours are integer
+    // epoch-hour math on both engines (sequence/range over BIGINT — no
+    // timestamp-interval dialect drift). At scale the spine is tiny
+    // (hours × types) and broadcast; the fact side is one hash agg.
+    "ts_gap_fill" -> Q(
+      (s, d) => {
+        val hourUs = 3600000000L
+        val e = E(s, d).select(
+          (usec(col("ts")) / hourUs).cast("bigint").as("h"), col("event_type"))
+        val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n_raw"))
+        val spine = e.agg(min("h").as("h0"), max("h").as("h1"))
+          .select(explode(expr("sequence(h0, h1)")).as("h"))
+          .crossJoin(e.select("event_type").distinct())
+        spine.join(counts, Seq("h", "event_type"), "left")
+          .select(
+            expr(s"CAST(timestamp_micros(h * $hourUs) AS TIMESTAMP_NTZ)")
+              .as("bucket"),
+            col("event_type"),
+            coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy("bucket", "event_type")
+      },
+      Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type
+                        FROM events),
+              counts AS (SELECT h, event_type, count(*) AS n_raw
+                         FROM e GROUP BY h, event_type),
+              spine AS (
+                SELECT unnest(range((SELECT min(h) FROM e),
+                                    (SELECT max(h) FROM e) + 1)) AS h),
+              types AS (SELECT DISTINCT event_type FROM e)
+              SELECT bucket, event_type, n FROM (
+                SELECT make_timestamp(spine.h * 3600000000) AS bucket,
+                       types.event_type AS event_type,
+                       coalesce(n_raw, 0) AS n
+                FROM spine CROSS JOIN types
+                LEFT JOIN counts ON counts.h = spine.h
+                                AND counts.event_type = types.event_type)
+              ORDER BY bucket, event_type""")),
+
+    // Exponentially-weighted moving value per event (10-term, α=0.5),
+    // written as an explicit left-associated lag chain: the weights are
+    // exact binary doubles and the addition order is pinned by the
+    // expression tree, so both engines produce bit-identical doubles.
+    // One shuffle on user_id; streaming twin is flatMapGroupsWithState.
+    "ts_ewma" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val terms = (0 until 10).map { k =>
+          coalesce(lag("value", k).over(w), lit(0.0)) *
+            lit(math.pow(0.5, k)) // 0.5^k is an exact binary double
+        }
+        E(s, d)
+          .select(col("event_id"), col("user_id"),
+            terms.reduceLeft(_ + _).as("ewma10"))
+          .orderBy("event_id")
+      },
+      Some {
+        val terms = (0 until 10).map { k =>
+          val wt = math.pow(0.5, k) // prints exactly (0.5^k has a short repr)
+          s"coalesce(lag(value, $k) OVER w, 0.0) * $wt"
+        }.mkString(" + ")
+        s"""SELECT event_id, user_id, $terms AS ewma10
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id"""
+      }),
+
+    // Ordered funnel: view → later click → later purchase, per user; emits
+    // how many users reach each stage. Three keyed min-aggregations chained
+    // by strictly-later joins — never a per-user sort of raw history, so
+    // each stage is one hash shuffle at any scale.
+    "ts_funnel" -> Q(
+      (s, d) => {
+        val e = E(s, d)
+        val v = e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = e.where(col("event_type") === "click")
+          .join(v, "user_id").where(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val p = e.where(col("event_type") === "purchase")
+          .join(c, "user_id").where(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        v.agg(count(lit(1)).as("n_view_users"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+              c AS (SELECT e.user_id, min(e.ts) AS t_click
+                    FROM events e JOIN v ON e.user_id = v.user_id
+                    WHERE e.event_type = 'click' AND e.ts > v.t_view
+                    GROUP BY e.user_id),
+              p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                    FROM events e JOIN c ON e.user_id = c.user_id
+                    WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                    GROUP BY e.user_id)
+              SELECT (SELECT count(*) FROM v) AS n_view_users,
+                     (SELECT count(*) FROM c) AS n_click_users,
+                     (SELECT count(*) FROM p) AS n_purchase_users""")),
+
+    // Weekly cohort retention: users grouped by first-seen week × the weeks
+    // they were active in. Both engines truncate weeks to Monday; DuckDB's
+    // date_trunc('week') yields DATE, so both sides cast to µs TIMESTAMP.
+    // Two hash shuffles (first-seen, then cohort cells) — no driver state.
+    "ts_cohort" -> Q(
+      (s, d) => {
+        val e = E(s, d)
+        val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+          .select(col("user_id"),
+            date_trunc("week", col("t0")).cast("timestamp_ntz").as("cohort_wk"))
+        e.join(first, "user_id")
+          .groupBy(col("cohort_wk"),
+            date_trunc("week", col("ts")).cast("timestamp_ntz").as("active_wk"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_wk", "active_wk")
+      },
+      Some("""WITH first AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_wk
+                FROM events GROUP BY user_id)
+              SELECT cohort_wk,
+                     CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS active_wk,
+                     count(DISTINCT e.user_id) AS n_users
+              FROM events e JOIN first ON e.user_id = first.user_id
+              GROUP BY cohort_wk, active_wk
+              ORDER BY cohort_wk, active_wk"""))
   )
 }

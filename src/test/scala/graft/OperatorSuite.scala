@@ -90,4 +90,116 @@ class OperatorSuite extends SparkSpec {
     val e = SparkEntry.queries("set_except")(spark, sf).count()
     assert(u >= i && i + e <= u + e)
   }
+
+  test("merge_upsert: row count = target + inserts; updates keep the key set") {
+    val o = Tables.t(spark, sf, "orders")
+    val nOrders = o.count()
+    val nIns = o.where(pmod(col("o_orderkey"), lit(101)) === 0).count()
+    val nUpd = o.where(pmod(col("o_orderkey"), lit(97)) === 0).count()
+    val m = SparkEntry.queries("merge_upsert")(spark, sf).collect()
+    assert(m.map(_.getAs[Long]("cnt")).sum == nOrders + nIns)
+    assert(m.find(_.getString(0) == "U").map(_.getAs[Long]("cnt")).contains(nUpd))
+    assert(m.find(_.getString(0) == "I").map(_.getAs[Long]("cnt")).contains(nIns))
+  }
+
+  test("sample_hash selects exactly the key-mod stratum") {
+    val expected = Tables.t(spark, sf, "orders")
+      .where(pmod(col("o_orderkey"), lit(10)) === 3).count()
+    val got = SparkEntry.queries("sample_hash")(spark, sf)
+      .agg(sum("cnt")).head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("scan_partitioned round-trips the filtered partitions losslessly") {
+    val expected = Tables.t(spark, sf, "events")
+      .where(col("event_type").isin("purchase", "signup")).count()
+    val got = SparkEntry.queries("scan_partitioned")(spark, sf)
+      .agg(sum("n")).head.getLong(0)
+    assert(got == expected)
+  }
+
+  test("agg_skew_kurt: near-uniform quantity has ~0 skew, kurtosis ≈ -1.2") {
+    val rows = SparkEntry.queries("agg_skew_kurt")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("cnt")).sum == 6000L)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("skew")) < 0.5)
+      val k = r.getAs[Double]("kurt")
+      assert(k > -2.0 && k < 0.0) // uniform 1..50 → ≈ -6(n²+1)/(5(n²-1))
+    }
+  }
+
+  test("agg_mode frequency is at least the per-group mean frequency") {
+    SparkEntry.queries("agg_mode")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n") >= 1L)
+      assert(r.getAs[Double]("mode_qty") >= 1.0 && r.getAs[Double]("mode_qty") <= 50.0)
+    }
+  }
+
+  test("ts_gap_fill: spine is dense, counts conserved, zeros present") {
+    val g = SparkEntry.queries("ts_gap_fill")(spark, sf)
+    val nTypes = Tables.t(spark, sf, "events")
+      .select("event_type").distinct().count()
+    assert(g.count() % nTypes == 0) // hours × types
+    assert(g.agg(sum("n")).head.getLong(0) == 1000L) // every event counted once
+    assert(g.where(col("n") === 0).count() > 0) // gaps really filled
+  }
+
+  test("ts_ewma is bounded by the running max of |value|") {
+    val e = SparkEntry.queries("ts_ewma")(spark, sf)
+    assert(e.count() == 1000L)
+    val maxAbs = Tables.t(spark, sf, "events")
+      .agg(max(abs(col("value")))).head.getDouble(0)
+    // Σ 0.5^k < 2 ⇒ |ewma| < 2·max|value|
+    assert(e.agg(max(abs(col("ewma10")))).head.getDouble(0) <= 2 * maxAbs)
+  }
+
+  test("ts_funnel stages are monotonically non-increasing") {
+    val r = SparkEntry.queries("ts_funnel")(spark, sf).head
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && p >= 0)
+  }
+
+  test("ts_cohort: activity weeks never precede the cohort week") {
+    val rows = SparkEntry.queries("ts_cohort")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[java.time.LocalDateTime]("active_wk")
+        .isBefore(r.getAs[java.time.LocalDateTime]("cohort_wk")))
+    }
+  }
+
+  test("text_entropy within [0, ln(n_langs)]") {
+    SparkEntry.queries("text_entropy")(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val n = r.getAs[Long]("n_langs")
+      assert(h >= 0.0 && h <= math.log(n.toDouble) + 1e-9)
+    }
+  }
+
+  test("dedup_ngram / dedup_edit pairs are ordered and thresholded") {
+    SparkEntry.queries("dedup_ngram")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("ia") < r.getAs[Long]("ib"))
+      val j = r.getAs[Double]("jac")
+      assert(j >= 0.4 && j <= 1.0)
+    }
+    SparkEntry.queries("dedup_edit")(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("ia") < r.getAs[Long]("ib"))
+      assert(r.getAs[Long]("dist") <= 5L)
+    }
+  }
+
+  test("text_minhash signatures are within the modulus") {
+    val mh = SparkEntry.queries("text_minhash")(spark, sf)
+    assert(mh.count() == 500L)
+    val bad = mh.where(
+      col("mh0") < 0 || col("mh0") >= 1000000007L ||
+      col("mh3") < 0 || col("mh3") >= 1000000007L).count()
+    assert(bad == 0L)
+  }
+
+  test("sim_rp_lsh buckets partition the corpus") {
+    val b = SparkEntry.queries("sim_rp_lsh")(spark, sf)
+    assert(b.agg(sum("n_vecs")).head.getLong(0) == 500L)
+    assert(b.where(col("sig") < 0 || col("sig") > 255).count() == 0L)
+  }
 }
