@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -81,6 +81,46 @@ object Multimodal {
           expr("aggregate(payload, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
             .as("payload_sum"))
         .orderBy("block_id"),
-      None)
+      None),
+
+    // The decode/feature-extract pipeline as a GRADED query: documents'
+    // text re-encoded as opaque binary payloads → typed Dataset[MediaBlock]
+    // → partition-parallel STUB decode (mapPartitions — the Scala analogue
+    // of a Pandas-UDF batch) → scalar features. Deterministic, but the
+    // byte-fold checksum is not DuckDB-expressible → rows-only check.
+    "mm_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val blocks = Tables.t(s, d, "documents").select(
+          col("doc_id").as("id"), lit("text").as("kind"),
+          (col("n_chars") % 64 + 16).cast("int").as("width"),
+          (col("n_chars") % 48 + 16).cast("int").as("height"),
+          encode(col("text"), "UTF-8").as("bytes")).as[MediaBlock]
+        extract(blocks).toDF()
+          .select(col("id"), col("n_bytes"), col("checksum"),
+            element_at(col("hist"), 1).as("h0"),
+            element_at(col("hist"), 4).as("h3"),
+            col("thumb_w"), col("thumb_h"))
+          .orderBy("id")
+      },
+      None),
+
+    // Frame sampling: every-2-seconds frame index per synthetic "video"
+    // (duration derived from the key) — the plumbing a video corpus uses to
+    // pick decode points before the (stubbed) decoder runs. Narrow
+    // sequence+explode, no shuffle; fully SQL-expressible → oracled.
+    "mm_frames" -> Q(
+      (s, d) => Tables.t(s, d, "embeddings")
+        .select(col("vec_id"),
+          explode(sequence(lit(0), (col("vec_id") % 30 + 5).cast("int"),
+            lit(2))).as("t_s"))
+        .select(col("vec_id"), col("t_s").cast("bigint").as("t_s"),
+          (col("t_s") * 4).cast("bigint").as("frame_idx"))
+        .orderBy("vec_id", "t_s"),
+      Some("""SELECT vec_id, t_s, t_s * 4 AS frame_idx FROM (
+                SELECT vec_id,
+                       unnest(range(0, (vec_id % 30 + 5) + 1, 2)) AS t_s
+                FROM embeddings)
+              ORDER BY vec_id, t_s"""))
   )
 }

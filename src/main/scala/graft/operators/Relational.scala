@@ -707,6 +707,21 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
 
+    // Weighted mean (revenue-weighted discount): two exact decimal sums
+    // and one IEEE division — the aggregation shape quality-weighted
+    // corpus sampling uses. Map-side combine on both sums, one shuffle.
+    "agg_weighted" -> Q(
+      (s, d) => L(s, d).groupBy("l_returnflag")
+        .agg((dsum(col("l_discount") * col("l_extendedprice")) /
+            dsum(col("l_extendedprice"))).as("wavg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag,
+                     ${oSum("l_discount*l_extendedprice")} /
+                       ${oSum("l_extendedprice")} AS wavg_disc,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Deterministic per-group mode (argmax with a pinned tiebreak) — the
     // built-in mode() breaks ties arbitrarily on both engines. Count, then
     // rank (count DESC, value ASC): two hash shuffles, no global sort.

@@ -189,6 +189,29 @@ object Scalar {
                      'a,b' AS ks
               FROM part ORDER BY p_partkey""")),
 
+    // Regex surface: global replace, extract-all (joined to a scalar),
+    // anchored match, occurrence count. Patterns stay POSIX-simple — the
+    // dialect intersection rule — and DuckDB's replace needs the explicit
+    // 'g' flag to match Spark's replace-all semantics.
+    "fn_regex" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("starred"),
+        array_join(expr("regexp_extract_all(p_name, '([a-z]+)', 1)"), ",")
+          .as("words"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_word"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).cast("bigint")
+          .as("n_vowels"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+                     array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ',')
+                       AS words,
+                     regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+                     CAST(len(regexp_extract_all(p_name, '[aeiou]', 0)) AS BIGINT)
+                       AS n_vowels
+              FROM part ORDER BY p_partkey""")),
+
     "fn_cond" -> Q(
       (s, d) => C(s, d).select(
         col("c_custkey"),

@@ -197,6 +197,36 @@ class OperatorSuite extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("mm_decode: stub features match a driver-side recompute") {
+    val feats = SparkEntry.queries("mm_decode")(spark, sf).collect()
+    assert(feats.length == 500)
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    feats.take(10).foreach { r =>
+      val bytes = docs(r.getAs[Long]("id")).getBytes("UTF-8")
+      assert(r.getAs[Long]("n_bytes") == bytes.length.toLong)
+      val sum = bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
+      assert(r.getAs[Long]("checksum") == sum)
+    }
+  }
+
+  test("mm_frames: every video gets ceil((dur+1)/2) sampled frames") {
+    val fr = SparkEntry.queries("mm_frames")(spark, sf)
+    assert(fr.groupBy("vec_id").count().count() == 500L)
+    fr.collect().foreach { r =>
+      assert(r.getAs[Long]("t_s") % 2 == 0)
+      assert(r.getAs[Long]("frame_idx") == r.getAs[Long]("t_s") * 4)
+    }
+  }
+
+  test("agg_weighted stays within the unweighted discount range") {
+    SparkEntry.queries("agg_weighted")(spark, sf).collect().foreach { r =>
+      val w = r.getAs[Double]("wavg_disc")
+      assert(w >= 0.0 && w <= 0.1) // l_discount domain
+    }
+  }
+
   test("sim_rp_lsh buckets partition the corpus") {
     val b = SparkEntry.queries("sim_rp_lsh")(spark, sf)
     assert(b.agg(sum("n_vecs")).head.getLong(0) == 500L)
