@@ -37,13 +37,17 @@ object Bench {
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val nFailed = results.count(_._2 < 0)
-    def f(v: Double) = if (v < 0) "-1" else f"$v%.3f"
-    // 3-decimal formatting keeps the whole line under ~1.8 KB so the
-    // driver's stdout tail capture sees it in full (r1's line was cut)
+    // The driver captures only the LAST 2000 bytes of stdout (measured from
+    // BENCH_r01.json), and sbt appends its own ~78-byte [success] line.
+    // 2-decimal trimmed-zero numbers keep the 98-query line ≈1.87 KB total.
+    def f(v: Double) =
+      if (v < 0) "-1"
+      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$nFailed}""")
+    val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
     spark.stop()
   }
 }

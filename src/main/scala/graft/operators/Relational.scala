@@ -707,6 +707,74 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
 
+    // Two-phase salted aggregation — the skew-mitigation pattern for hot
+    // keys at 100 TB: partial-aggregate on (key, salt) spreads a hot key
+    // over 16 reducers, then the tiny salted partials re-aggregate.
+    // DECIMAL sums are associative, so salting is bit-exact vs the plain
+    // one-shuffle oracle.
+    "agg_salted" -> Q(
+      (s, d) => L(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(sum(col("l_quantity").cast("decimal(38,6)")).as("partial"),
+          count(lit(1)).as("pc"))
+        .groupBy("l_returnflag")
+        .agg(sum("partial").cast("double").as("sum_qty"),
+          sum("pc").as("cnt"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, ${oSum("l_quantity")} AS sum_qty,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Boolean aggregate family: count_if / bool_and / bool_or.
+    "agg_bool" -> Q(
+      (s, d) => O(s, d).groupBy("o_orderstatus")
+        .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
+          expr("bool_and(o_totalprice > 0)").as("all_pos"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+                     bool_and(o_totalprice > 0) AS all_pos,
+                     bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // max_by / min_by (argmax aggregates). Ordered by the UNIQUE order key:
+    // neither engine defines tie-breaks for argmax, so the ordering
+    // expression must be collision-free by construction.
+    "agg_argmax" -> Q(
+      (s, d) => O(s, d).groupBy("o_orderpriority")
+        .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
+          min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     arg_max(o_totalprice, o_orderkey) AS latest_price,
+                     arg_min(o_totalprice, o_orderkey) AS first_price,
+                     count(*) AS cnt
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // SQL front door + correlated scalar subquery: Catalyst decorrelates
+    // (RewriteCorrelatedScalarSubquery) into an aggregate + join — no
+    // per-row re-execution, the plan a 100 TB engine must produce. The
+    // threshold avg is an exact-in-double mean of integral quantities.
+    "sql_subquery" -> Q(
+      (s, d) => {
+        L(s, d).createOrReplaceTempView("graft_li_sq")
+        s.sql("""SELECT l_orderkey, l_linenumber, l_quantity
+                 FROM graft_li_sq o
+                 WHERE l_quantity > (SELECT avg(l_quantity) * 1.9
+                                     FROM graft_li_sq i
+                                     WHERE i.l_partkey = o.l_partkey)
+                 ORDER BY l_orderkey, l_linenumber, l_quantity""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem o
+              WHERE l_quantity > (SELECT avg(l_quantity) * 1.9
+                                  FROM lineitem i
+                                  WHERE i.l_partkey = o.l_partkey)
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
     // Weighted mean (revenue-weighted discount): two exact decimal sums
     // and one IEEE division — the aggregation shape quality-weighted
     // corpus sampling uses. Map-side combine on both sums, one shuffle.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Par.usec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -188,6 +189,103 @@ object Scalar {
                      p_retailprice AS m_retail,
                      'a,b' AS ks
               FROM part ORDER BY p_partkey""")),
+
+    // Second string family: padding, part-splitting, translation, search
+    // position, reverse/repeat, left/right slices.
+    "fn_string2" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        expr("split_part(p_name, ' ', 2)").as("second_tok"),
+        lpad(col("p_brand"), 12, "_").as("brand_pad"),
+        rpad(col("p_type"), 10, ".").as("type_pad"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_up"),
+        instr(col("p_name"), "data").cast("bigint").as("data_pos"),
+        reverse(col("p_brand")).as("brand_rev"),
+        expr("repeat(p_brand, 2)").as("brand2"),
+        expr("left(p_name, 6)").as("head6"),
+        expr("right(p_name, 4)").as("tail4"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     split_part(p_name, ' ', 2) AS second_tok,
+                     lpad(p_brand, 12, '_') AS brand_pad,
+                     rpad(p_type, 10, '.') AS type_pad,
+                     translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+                     CAST(position('data' IN p_name) AS BIGINT) AS data_pos,
+                     reverse(p_brand) AS brand_rev,
+                     repeat(p_brand, 2) AS brand2,
+                     left(p_name, 6) AS head6,
+                     right(p_name, 4) AS tail4
+              FROM part ORDER BY p_partkey""")),
+
+    // Second date family: quarter/week/day-of-year, last day of month,
+    // integer month arithmetic, constructed dates, epoch seconds.
+    "fn_date2" -> Q(
+      (s, d) => O(s, d).select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
+        dayofyear(col("o_orderdate")).cast("bigint").as("doy"),
+        last_day(col("o_orderdate")).as("month_end"),
+        ((year(col("o_orderdate")) * 12 + month(col("o_orderdate"))) -
+          (lit(2024) * 12 + lit(1))).cast("bigint").as("months_since"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1))
+          .as("month_first"),
+        date_add(to_date(col("o_orderdate")), 7).as("plus7d"),
+        // SQL `div` = integer division → BIGINT, matching DuckDB's `//`
+        // (Column./ would widen to DOUBLE and drift the output dtype)
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000")
+          .as("epoch_s"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     quarter(o_orderdate) AS qtr,
+                     weekofyear(o_orderdate) AS iso_week,
+                     dayofyear(o_orderdate) AS doy,
+                     last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                     (year(o_orderdate)*12 + month(o_orderdate))
+                       - (2024*12 + 1) AS months_since,
+                     make_date(CAST(year(o_orderdate) AS INTEGER),
+                               CAST(month(o_orderdate) AS INTEGER), 1)
+                       AS month_first,
+                     CAST(o_orderdate AS DATE) + 7 AS plus7d,
+                     epoch_us(o_orderdate) // 1000000 AS epoch_s
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Second array family: zip_with (oracle replays it with index math —
+    // DuckDB has no zip_with), set ops vs a constant vocabulary, overlap,
+    // position (Spark returns 0 for missing; DuckDB NULL → coalesce).
+    "fn_array2" -> Q(
+      (s, d) => Tables.t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(
+          col("doc_id"),
+          aggregate(
+            zip_with(col("t"), reverse(col("t")),
+              (x, y) => length(x) * length(y)),
+            lit(0L), (a, x) => a + x).as("zip_dot"),
+          size(array_intersect(array_distinct(col("t")),
+            array(lit("the"), lit("a"), lit("data"), lit("model"))))
+            .cast("bigint").as("n_common"),
+          size(array_except(array_distinct(col("t")),
+            array(lit("the"), lit("a")))).cast("bigint").as("n_rest"),
+          arrays_overlap(col("t"), array(lit("the"), lit("qqq")))
+            .as("has_any"),
+          array_position(col("t"), "the").as("the_pos"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(1, len(t) + 1),
+                         i -> CAST(length(t[i]) * length(t[len(t) - i + 1])
+                                   AS BIGINT))),
+                       (a, x) -> a + x) AS zip_dot,
+                     CAST(len(list_intersect(list_distinct(t),
+                       ['the', 'a', 'data', 'model'])) AS BIGINT) AS n_common,
+                     CAST(len(list_filter(list_distinct(t),
+                       x -> x NOT IN ('the', 'a'))) AS BIGINT) AS n_rest,
+                     list_has_any(t, ['the', 'qqq']) AS has_any,
+                     CAST(coalesce(list_position(t, 'the'), 0) AS BIGINT)
+                       AS the_pos
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+              ORDER BY doc_id""")),
 
     // Regex surface: global replace, extract-all (joined to a scalar),
     // anchored match, occurrence count. Patterns stay POSIX-simple — the

@@ -26,6 +26,49 @@ object Text {
   private val toks: Column = split(col("text"), " ")
   private val utoks: Column = array_distinct(toks)
 
+  /** Token-set Jaccard pairs over (lang, source, length-band)-blocked
+    * candidates — shared by dedup_near and dedup_cluster. */
+  private def jacPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
+    val t = D(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      expr("n_chars div 50").as("band"),
+      size(utoks).as("nt"),
+      explode(utoks).as("token"))
+    val a = t.select(col("lang"), col("source"), col("band"), col("token"),
+      col("doc_id").as("ia"), col("nt").as("na"))
+    val b = t.select(col("lang").as("lang_b"), col("source").as("source_b"),
+      col("band").as("band_b"), col("token").as("token_b"),
+      col("doc_id").as("ib"), col("nt").as("nb"))
+    a.join(b,
+        col("lang") === col("lang_b") && col("source") === col("source_b") &&
+        col("band") === col("band_b") && col("token") === col("token_b") &&
+        col("ia") < col("ib"))
+      .groupBy("ia", "ib", "na", "nb")
+      .agg(count(lit(1)).as("common"))
+      .select(col("ia"), col("ib"),
+        (col("common").cast("double") /
+          (col("na") + col("nb") - col("common"))).as("jac"))
+      .where(col("jac") >= thr)
+  }
+
+  /** Oracle CTE fragment producing the same thresholded pairs. */
+  private def oJacPairs(thr: String): String =
+    s"""tok AS (
+          SELECT doc_id, lang, source, n_chars // 50 AS band,
+                 len(list_distinct(string_split(text, ' '))) AS nt,
+                 unnest(list_distinct(string_split(text, ' '))) AS token
+          FROM documents),
+        pairs AS (
+          SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
+          FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, a.nt AS na,
+                       b.nt AS nb, count(*) AS common
+                FROM tok a JOIN tok b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.band = b.band AND a.token = b.token
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4)
+          WHERE CAST(common AS DOUBLE)/(na+nb-common) >= $thr)"""
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup by normalized content hash, deterministic keep-first
@@ -50,44 +93,50 @@ object Text {
     // Near-dup pairs: token-set Jaccard >= 0.9, candidate pairs blocked by
     // (lang, source, n_chars//50) — the quadratic blowup is bounded per block.
     "dedup_near" -> Q(
+      (s, d) => jacPairs(s, d, 0.9).orderBy("ia", "ib"),
+      Some(s"""WITH ${oJacPairs("0.9")}
+              SELECT ia, ib, jac FROM pairs ORDER BY ia, ib""")),
+
+    // Connected-components clustering over the near-dup pairs — the step
+    // that turns pairwise matches into dedup groups (keep min doc_id per
+    // component). Iterative min-label propagation: one join + min-agg per
+    // round, O(component diameter) rounds — the scalable large-graph CC
+    // (GraphX-style), no driver-side union-find. localCheckpoint truncates
+    // the per-iteration lineage; it is builder-scoped, so every run
+    // recomputes honestly. Oracle: recursive-CTE transitive closure.
+    "dedup_cluster" -> Q(
       (s, d) => {
-        val t = D(s, d).select(
-          col("doc_id"), col("lang"), col("source"),
-          expr("n_chars div 50").as("band"),
-          size(utoks).as("nt"),
-          explode(utoks).as("token"))
-        val a = t.select(col("lang"), col("source"), col("band"), col("token"),
-          col("doc_id").as("ia"), col("nt").as("na"))
-        val b = t.select(col("lang").as("lang_b"), col("source").as("source_b"),
-          col("band").as("band_b"), col("token").as("token_b"),
-          col("doc_id").as("ib"), col("nt").as("nb"))
-        a.join(b,
-            col("lang") === col("lang_b") && col("source") === col("source_b") &&
-            col("band") === col("band_b") && col("token") === col("token_b") &&
-            col("ia") < col("ib"))
-          .groupBy("ia", "ib", "na", "nb")
-          .agg(count(lit(1)).as("common"))
-          .select(col("ia"), col("ib"),
-            (col("common").cast("double") /
-              (col("na") + col("nb") - col("common"))).as("jac"))
-          .where(col("jac") >= 0.9)
-          .orderBy("ia", "ib")
+        val pr = jacPairs(s, d, 0.9).select("ia", "ib").localCheckpoint()
+        val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
+        var labels = edges.select(col("a").as("node")).distinct()
+          .withColumn("label", col("node")).localCheckpoint()
+        var iter = 0
+        var done = false
+        while (!done && iter < 20) {
+          val prop = edges.join(labels, col("b") === col("node"))
+            .groupBy("a").agg(min("label").as("nl"))
+          val next = labels.join(prop, col("node") === col("a"), "left")
+            .select(col("node"),
+              least(col("label"), coalesce(col("nl"), col("label")))
+                .as("label"))
+            .localCheckpoint()
+          done = next.join(labels.withColumnRenamed("label", "prev"), "node")
+            .where(col("label") < col("prev")).isEmpty
+          labels = next
+          iter += 1
+        }
+        labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
-                SELECT doc_id, lang, source, n_chars // 50 AS band,
-                       len(list_distinct(string_split(text, ' '))) AS nt,
-                       unnest(list_distinct(string_split(text, ' '))) AS token
-                FROM documents)
-              SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
-              FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, a.nt AS na,
-                           b.nt AS nb, count(*) AS common
-                    FROM tok a JOIN tok b
-                      ON a.lang = b.lang AND a.source = b.source
-                     AND a.band = b.band AND a.token = b.token
-                     AND a.doc_id < b.doc_id
-                    GROUP BY 1, 2, 3, 4)
-              WHERE CAST(common AS DOUBLE)/(na+nb-common) >= 0.9
-              ORDER BY ia, ib""")),
+      Some(s"""WITH RECURSIVE ${oJacPairs("0.9")},
+              edges AS (SELECT ia AS a, ib AS b FROM pairs
+                        UNION SELECT ib, ia FROM pairs),
+              reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+              FROM reach GROUP BY a ORDER BY doc_id""")),
 
     // Global word count with stopword filter (tokenization via SQL
     // functions, not ml.Tokenizer, for oracle parity).

@@ -227,6 +227,43 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("agg_salted equals the unsalted aggregation") {
+    val direct = Tables.t(spark, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(38,6)")).cast("double").as("s"),
+        count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    SparkEntry.queries("agg_salted")(spark, sf).collect().foreach { r =>
+      val (s, c) = direct(r.getString(0))
+      assert(r.getAs[Double]("sum_qty") == s && r.getAs[Long]("cnt") == c)
+    }
+  }
+
+  test("agg_argmax returns the price of the extreme order key per group") {
+    val o = Tables.t(spark, sf, "orders")
+    val maxKey = o.agg(max("o_orderkey")).head.getLong(0)
+    val gp = o.where(col("o_orderkey") === maxKey)
+      .select("o_orderpriority", "o_totalprice").head
+    val row = SparkEntry.queries("agg_argmax")(spark, sf)
+      .where(col("o_orderpriority") === gp.getString(0)).head
+    assert(row.getAs[Double]("latest_price") == gp.getDouble(1))
+  }
+
+  test("sql_subquery keeps only rows above their part's scaled average") {
+    val rows = SparkEntry.queries("sql_subquery")(spark, sf)
+    assert(rows.count() > 0)
+    assert(rows.agg(min("l_quantity")).head.getDouble(0) > 1.0)
+  }
+
+  test("dedup_cluster: every near-dup pair lands in one cluster, min-labeled") {
+    val cl = SparkEntry.queries("dedup_cluster")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cl.foreach { case (doc, c) => assert(c <= doc) }
+    SparkEntry.queries("dedup_near")(spark, sf).collect().foreach { r =>
+      assert(cl(r.getAs[Long]("ia")) == cl(r.getAs[Long]("ib")))
+    }
+  }
+
   test("sim_rp_lsh buckets partition the corpus") {
     val b = SparkEntry.queries("sim_rp_lsh")(spark, sf)
     assert(b.agg(sum("n_vecs")).head.getLong(0) == 500L)
