@@ -38,16 +38,19 @@ object Bench {
     }
     val nFailed = results.count(_._2 < 0)
     // The driver captures only the LAST 2000 bytes of stdout (measured from
-    // BENCH_r01.json), and sbt appends its own ~78-byte [success] line.
-    // 2-decimal trimmed-zero numbers keep the 98-query line ≈1.87 KB total.
-    def f(v: Double) =
-      if (v < 0) "-1"
-      else f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    // BENCH_r01.json) — everything below keeps the 101-query line inside
+    // that window: 1-decimal trimmed-zero numbers, basename sf, no failed
+    // field when zero, and build.sbt suppresses sbt's [success] epilogue.
+    def f(v: Double) = {
+      val s = if (v < 0) "-1.0" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+      s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$failedField}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField}""")
     spark.stop()
   }
 }

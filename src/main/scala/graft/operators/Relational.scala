@@ -707,6 +707,72 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
 
+    // Bucketed-table co-located join AS a declared query: both sides are
+    // written bucketBy(join key) + sortBy, so the sort-merge join and the
+    // downstream aggregation reuse the bucket partitioning — ZERO shuffle
+    // exchanges at query time (asserted in PlanSuite). At 100 TB this is
+    // the pre-shuffle that makes every repeated fact-fact join free.
+    "join_bucketed" -> Q(
+      (s, d) => {
+        val wh = rtTmp(s, "bkt")
+        s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+        s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+        L(s, d).select("l_orderkey", "l_quantity")
+          .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$wh/li").saveAsTable("graft_li_bkt")
+        O(s, d).select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$wh/ord").saveAsTable("graft_ord_bkt")
+        s.table("graft_ord_bkt")
+          .join(s.table("graft_li_bkt"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, sum(l_quantity) AS sum_qty,
+                     count(*) AS cnt
+              FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Scalar UDF surface. UDFs are the LAST resort (no codegen, no
+    // pushdown — every other query uses built-ins/HOFs), but the extension
+    // point must work: a deterministic digit-sum UDF, oracle replayed as
+    // closed-form digit arithmetic.
+    "fn_udf" -> Q(
+      (s, d) => {
+        val digitSum = udf((k: Long) => k.toString.map(_ - '0').sum.toLong)
+        O(s, d).select(col("o_orderkey"),
+          digitSum(col("o_orderkey")).as("key_digit_sum"))
+          .orderBy("o_orderkey")
+      },
+      Some {
+        val ds = (0 to 9)
+          .map(p => s"(o_orderkey // ${math.pow(10, p).toLong}) % 10")
+          .mkString(" + ")
+        s"""SELECT o_orderkey, $ds AS key_digit_sum
+            FROM orders ORDER BY o_orderkey"""
+      }),
+
+    // Typed Aggregator UDAF (modular product): commutative+associative by
+    // construction, so partial/final merge order across partitions cannot
+    // change the result — the invariant any custom distributed aggregate
+    // needs. Oracle replays it as an ordered list fold (equal for the same
+    // algebraic reason).
+    "agg_udaf" -> Q(
+      (s, d) => {
+        val modProduct = udaf(graft.functions.ModProduct)
+        L(s, d).groupBy("l_returnflag")
+          .agg(modProduct(col("l_quantity").cast("bigint")).as("qty_modprod"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+                     list_reduce(list_prepend(CAST(1 AS BIGINT),
+                       list(CAST(l_quantity AS BIGINT) % 1000000007)),
+                       (a, x) -> a * x % 1000000007) AS qty_modprod,
+                     count(*) AS cnt
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // Two-phase salted aggregation — the skew-mitigation pattern for hot
     // keys at 100 TB: partial-aggregate on (key, salt) spreads a hot key
     // over 16 reducers, then the tiny salted partials re-aggregate.

@@ -98,4 +98,33 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("scan_partitioned prunes partitions at the scan") {
+    val plan = formatted(SparkEntry.queries("scan_partitioned")(spark, sf))
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+    // the IN-filter on the partition column must reach the scan, not a Filter node
+    assert(plan.contains("event_type#") || plan.contains("PartitionFilters: ["),
+      plan.take(3000))
+  }
+
+  test("dedup_edit blocking joins on equi keys (hash/SMJ, never a cartesian)") {
+    val plan = formatted(SparkEntry.queries("dedup_edit")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("sql_subquery is decorrelated into a join (no per-row subquery)") {
+    val df = SparkEntry.queries("sql_subquery")(spark, sf)
+    val plan = formatted(df)
+    assert(plan.contains("Join") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("join_bucketed runs with ZERO shuffle exchanges") {
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    // builder writes the bucketed tables, then the join+agg reuse buckets;
+    // only the tiny presentation ORDER BY may exchange
+    assert(countShuffles(df) <= 1,
+      formatted(df).take(3000))
+  }
 }
