@@ -528,6 +528,40 @@ object Relational {
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
 
+    // Per-group simple linear regression (price-vs-quantity trend) from
+    // the same exact scale-0 decimal moments as agg_corr: slope/intercept
+    // are then pure IEEE arithmetic on identical doubles — bit-exact, no
+    // built-in regr_* (whose float accumulation is order-dependent).
+    "agg_regression" -> Q(
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(19,0)")
+        val y = (col("l_extendedprice") * lit(100)).cast("decimal(19,0)")
+        val n = count(lit(1)).cast("double")
+        def d0(c: Column) = sum(c).cast("double")
+        val sx = d0(x); val sy = d0(y)
+        val sxy = sum(x * y).cast("double"); val sxx = sum(x * x).cast("double")
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        L(s, d).groupBy("l_returnflag")
+          .agg((slope / 100.0).as("slope"),
+            (((sy - slope * sx) / n) / 100.0).as("intercept"),
+            count(lit(1)).as("cnt"))
+          .orderBy("l_returnflag")
+      },
+      Some {
+        val n = "CAST(count(*) AS DOUBLE)"
+        val qx = "CAST(l_quantity AS DECIMAL(19,0))"
+        val qy = "CAST(l_extendedprice*100 AS DECIMAL(19,0))"
+        def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        val (sx, sy) = (d0(qx), d0(qy))
+        val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx")
+        val slope = s"(($n*$sxy - $sx*$sy) / ($n*$sxx - $sx*$sx))"
+        s"""SELECT l_returnflag,
+                   $slope / 100.0 AS slope,
+                   (($sy - $slope*$sx) / $n) / 100.0 AS intercept,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      }),
+
     // Unpivot (stack): wide → long over the three price-ish columns.
     "agg_unpivot" -> Q(
       (s, d) => L(s, d)

@@ -109,6 +109,41 @@ object TimeSeries {
                                      FROM events)
               GROUP BY event_type ORDER BY event_type""")),
 
+    // Z-score anomaly detection: per-type mean/std from exact decimal sums
+    // (broadcast back to the stream), flag |z| > 3. Identical doubles in →
+    // identical z out on both engines; no rounding. At scale: the stats
+    // are a tiny broadcast, the scoring pass is narrow.
+    "ts_anomaly" -> Q(
+      (s, d) => {
+        val n = count(lit(1)).cast("double")
+        val sv = dsum(col("value"))
+        val sv2 = dsum(col("value") * col("value"))
+        val stats = E(s, d).groupBy("event_type").agg(
+          (sv / n).as("mu"),
+          sqrt((sv2 - sv * sv / n) / (n - lit(1.0))).as("sd"))
+        val z = abs((col("value") - col("mu")) / col("sd"))
+        E(s, d).join(broadcast(stats), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            expr("count_if(abs((value - mu) / sd) > 3.0)").as("n_anom"),
+            max(z).as("max_absz"))
+          .orderBy("event_type")
+      },
+      Some {
+        val n = "CAST(count(*) AS DOUBLE)"
+        val sv = oSum("value"); val sv2 = oSum("value*value")
+        s"""WITH st AS (
+              SELECT event_type, $sv / $n AS mu,
+                     sqrt(($sv2 - $sv*$sv/$n) / ($n - 1.0)) AS sd
+              FROM events GROUP BY event_type)
+            SELECT e.event_type AS event_type, count(*) AS n,
+                   CAST(count_if(abs((value - mu) / sd) > 3.0) AS BIGINT)
+                     AS n_anom,
+                   max(abs((value - mu) / sd)) AS max_absz
+            FROM events e JOIN st ON e.event_type = st.event_type
+            GROUP BY e.event_type ORDER BY event_type"""
+      }),
+
     // Gap filling: hourly counts per event_type over the full [min,max]
     // hour span, missing hours emitted as 0 (the time spine every
     // time-series chart/train-data loader needs). Spine hours are integer

@@ -264,6 +264,27 @@ class OperatorSuite extends SparkSpec {
     }
   }
 
+  test("agg_regression: fit passes near the (mean_x, mean_y) centroid") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val stats = li.groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("mx"), avg("l_extendedprice").as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    SparkEntry.queries("agg_regression")(spark, sf).collect().foreach { r =>
+      val (mx, my) = stats(r.getString(0))
+      val fitAtMean = r.getAs[Double]("slope") * mx + r.getAs[Double]("intercept")
+      // OLS line passes exactly through the centroid (up to float noise)
+      assert(math.abs(fitAtMean - my) < 1e-6 * math.abs(my))
+    }
+  }
+
+  test("ts_anomaly: anomalies are a small tail, z-scores sane") {
+    SparkEntry.queries("ts_anomaly")(spark, sf).collect().foreach { r =>
+      val (n, anom) = (r.getAs[Long]("n"), r.getAs[Long]("n_anom"))
+      assert(anom <= n / 10) // |z|>3 must be a tail, not the bulk
+      assert(r.getAs[Double]("max_absz") > 0.0)
+    }
+  }
+
   test("sim_rp_lsh buckets partition the corpus") {
     val b = SparkEntry.queries("sim_rp_lsh")(spark, sf)
     assert(b.agg(sum("n_vecs")).head.getLong(0) == 500L)
