@@ -41,16 +41,19 @@ object Bench {
     // BENCH_r01.json) — everything below keeps the 101-query line inside
     // that window: 1-decimal trimmed-zero numbers, basename sf, no failed
     // field when zero, and build.sbt suppresses sbt's [success] epilogue.
-    def f(v: Double) = {
-      val s = if (v < 0) "-1.0" else if (v >= 10) f"$v%.1f" else f"$v%.2f"
+    def trim(s: String) =
       s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    // per-query at 1 dp (103 names alone are ~1.2 KB; exact per-query
+    // numbers live in BASELINE.md), total at 2 dp. Headroom check: the
+    // steady-state line is ~1.93 KB — at most ~4 more queries fit the
+    // window before the format needs revisiting.
+    def f1(v: Double) = if (v < 0) "-1" else trim(f"$v%.1f")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField}""")
+    println(s"""{"metric":"total","value":${trim(f"$total%.2f")},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField}""")
     spark.stop()
   }
 }
