@@ -51,6 +51,36 @@ object Streams {
       .select(col("session_window.start").as("session_start"),
         col("user_id"), col("n_events"))
 
+  case class EwmaState(recent: Seq[Double]) // last ≤9 values, newest first
+  case class EwmaOut(event_id: Long, user_id: Long, ewma10: Double)
+
+  /** Streaming twin of the batch ts_ewma lag-chain: per-user state keeps
+    * the last 9 values, and each event's 10-term EWMA is computed with the
+    * SAME multiply-then-left-associated-add order as the batch expression
+    * tree — bit-identical doubles (asserted in StreamingSuite). */
+  def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var recent = state.getOption.map(_.recent.toList).getOrElse(Nil)
+          // within a micro-batch the iterator order is unspecified — event
+          // time (with the unique id tiebreak) defines the EWMA order
+          val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+            val window = e.value :: recent
+            val terms = (0 until 10).map { k =>
+              (if (k < window.length) window(k) else 0.0) * math.pow(0.5, k)
+            }
+            recent = (e.value :: recent).take(9)
+            EwmaOut(e.event_id, uid, terms.reduceLeft(_ + _))
+          }
+          state.update(EwmaState(recent))
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {

@@ -49,6 +49,30 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA state op is bit-identical to the batch lag chain") {
+    import spark.implicits._
+    val dir = eventsDir
+    val events = Streams.fileSource(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    val q = Streams.ewmaPerUser(events)
+      .writeStream.format("memory").queryName("ewma_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_sink")
+        .select("event_id", "ewma10").collect()
+        .map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+      val batch = SparkEntry.queries("ts_ewma")(spark, sf)
+        .select("event_id", "ewma10").collect()
+        .map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+      assert(streamed.size == batch.size)
+      assert(streamed == batch) // bit-exact, not approximately equal
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state") {
     import spark.implicits._
     val dir = eventsDir
