@@ -11,10 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// No "[success] Total time" epilogue: the bench driver captures only the
-// last 2000 bytes of stdout, and the epilogue would push the (large)
-// Bench JSON line out of that window.
+// The bench driver json-parses the LAST LINE of a 2000-byte stdout tail
+// (BENCH_r01/r02: parsed=null). Two sbt behaviors break that: the
+// "[success] Total time" epilogue becomes the last line, and the default
+// LoggedOutput strategy prefixes every forked-process stdout line with
+// "[info] ". Suppress the epilogue and pass forked stdout through raw.
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

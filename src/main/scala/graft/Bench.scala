@@ -37,23 +37,38 @@ object Bench {
       n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
     }
     val nFailed = results.count(_._2 < 0)
-    // The driver captures only the LAST 2000 bytes of stdout (measured from
-    // BENCH_r01.json) — everything below keeps the 101-query line inside
-    // that window: 1-decimal trimmed-zero numbers, basename sf, no failed
-    // field when zero, and build.sbt suppresses sbt's [success] epilogue.
+    // The driver json-parses the LAST LINE of the last 2000 bytes of stdout
+    // (measured from BENCH_r01/r02.json) — everything below keeps the line
+    // inside that window: 1-decimal trimmed-zero numbers, basename sf, no
+    // failed field when zero, build.sbt suppresses sbt's [success] epilogue
+    // AND passes forked stdout through raw (no "[info] " prefix).
     def trim(s: String) =
       s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    // per-query at 1 dp (103 names alone are ~1.2 KB; exact per-query
-    // numbers live in BASELINE.md), total at 2 dp. Headroom check: the
-    // steady-state line is ~1.93 KB — at most ~4 more queries fit the
-    // window before the format needs revisiting.
     def f1(v: Double) = if (v < 0) "-1" else trim(f"$v%.1f")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f1(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${trim(f"$total%.2f")},"unit":"sec","queries":$qs,"sf":"$sfName"$failedField}""")
+    def line(rs: Seq[(String, Double)], elided: Int) = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f1(v) }
+        .mkString("{", ",", "}")
+      val e = if (elided > 0) s""","elided":$elided""" else ""
+      s"""{"metric":"total","value":${trim(f"$total%.2f")},"unit":"sec","queries":$qs,"sf":"$sfName"$e$failedField}"""
+    }
+    // Size guard: if the full per-query map would overflow the tail window,
+    // keep only the SLOWEST queries (the informative ones — everything
+    // elided is fast) until the line fits; "elided":N records the cut and
+    // the total still covers every query. Failed (-1) entries always stay.
+    val budget = 1900
+    var out = line(results, 0)
+    if (out.length > budget) {
+      val keep = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+        .reverse
+      var n = keep.length
+      while (n > 1 && line(keep.take(n).sortBy(_._1), results.length - n).length > budget)
+        n -= 1
+      out = line(keep.take(n).sortBy(_._1), results.length - n)
+    }
+    println(out)
     spark.stop()
   }
 }
