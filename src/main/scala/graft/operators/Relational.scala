@@ -34,9 +34,22 @@ object Relational {
   private val discPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
   /** Round-trip scratch dir, unique per Spark application: a parallel bench
-    * + verify (or forked test JVMs) must not overwrite each other mid-read. */
-  private def rtTmp(s: SparkSession, fmt: String): String =
-    sys.props("java.io.tmpdir") + s"/graft_rt_${fmt}_${s.sparkContext.applicationId}"
+    * + verify (or forked test JVMs) must not overwrite each other mid-read.
+    * Every dir is registered for recursive delete at JVM exit so repeated
+    * runs don't accumulate per-app copies under java.io.tmpdir. */
+  private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  sys.addShutdownHook {
+    rtDirs.keySet.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+  }
+  private def rtTmp(s: SparkSession, fmt: String): String = {
+    val p = sys.props("java.io.tmpdir") + s"/graft_rt_${fmt}_${s.sparkContext.applicationId}"
+    rtDirs.put(p, ()); p
+  }
 
   // ---------------------------------------------------------------- scans
 

@@ -125,6 +125,11 @@ object Text {
           labels = next
           iter += 1
         }
+        // A component with diameter > the iteration cap would silently
+        // diverge from the recursive-CTE oracle — fail attributably instead
+        // (shows as [verify]/bench failure, never a wrong-but-green result).
+        if (!done) throw new IllegalStateException(
+          s"dedup_cluster: min-label propagation not converged after $iter rounds")
         labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")
       },

@@ -57,7 +57,15 @@ object Streams {
   /** Streaming twin of the batch ts_ewma lag-chain: per-user state keeps
     * the last 9 values, and each event's 10-term EWMA is computed with the
     * SAME multiply-then-left-associated-add order as the batch expression
-    * tree — bit-identical doubles (asserted in StreamingSuite). */
+    * tree — bit-identical doubles (asserted in StreamingSuite).
+    *
+    * Ordering scope: events are sorted by (ts, event_id) WITHIN each
+    * micro-batch, but state is applied in batch-arrival order ACROSS
+    * batches. The bit-exactness claim therefore assumes in-order delivery
+    * across micro-batches (true for the replay/file sources used here); a
+    * source that delivers a user's events out of event-time order across
+    * batches would need event-time buffering in state (e.g. hold events
+    * until watermark) to preserve the guarantee. */
   def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
     events
