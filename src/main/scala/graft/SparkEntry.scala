@@ -16,6 +16,7 @@ object SparkEntry {
     operators.TimeSeries.defs,
     operators.Scalar.defs,
     operators.Text.defs,
+    operators.TextPipeline.defs,
     operators.Similarity.defs,
     operators.ML.defs,
     operators.Multimodal.defs

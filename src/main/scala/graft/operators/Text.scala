@@ -501,6 +501,45 @@ object Text {
                                 * CAST(2654435761 AS BIGINT) % 4294967296) AS hs
                   FROM documents)
             ORDER BY doc_id"""
-      })
+      }),
+
+    // Graph analytics over the near-dup pair graph: per-node degree +
+    // triangle participation (a<b<c orientation counts each triangle
+    // once). Pure integer join/agg — exact on both engines; at 100 TB
+    // the two self-joins shuffle on node id, the standard distributed
+    // triangle enumeration (edges pre-filtered by the Jaccard blocking
+    // keep the graph near-linear in corpus size).
+    "graph_triangles" -> Q(
+      (s, d) => {
+        val e = jacPairs(s, d, 0.8).select("ia", "ib").localCheckpoint()
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.ib") === col("e2.ia"))
+          .join(e.as("e3"),
+            col("e1.ia") === col("e3.ia") && col("e2.ib") === col("e3.ib"))
+          .select(explode(array(col("e1.ia"), col("e1.ib"), col("e2.ib")))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        val deg = e.select(col("ia").as("node"))
+          .union(e.select(col("ib").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("degree"))
+        deg.join(tri, Seq("node"), "left")
+          .select(col("node").as("doc_id"), col("degree"),
+            coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${oJacPairs("0.8")},
+               e AS (SELECT ia, ib FROM pairs),
+               tri AS (
+                 SELECT unnest([e1.ia, e1.ib, e2.ib]) AS node
+                 FROM e e1 JOIN e e2 ON e1.ib = e2.ia
+                   JOIN e e3 ON e1.ia = e3.ia AND e2.ib = e3.ib),
+               tc AS (SELECT node, count(*) AS n_tri FROM tri GROUP BY node),
+               deg AS (SELECT node, count(*) AS degree FROM
+                         (SELECT ia AS node FROM e UNION ALL SELECT ib FROM e)
+                       GROUP BY node)
+               SELECT deg.node AS doc_id, deg.degree,
+                      coalesce(tc.n_tri, 0) AS n_triangles
+               FROM deg LEFT JOIN tc ON deg.node = tc.node
+               ORDER BY doc_id"""))
   )
 }

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation pipeline over `documents` (SURVEY.md §2.9):
+  * chunking, quality filtering (C4/Gopher-style rules), repetition
+  * signals, PII redaction, HTML stripping, whitespace normalization.
+  *
+  * Every op is a narrow per-document map (explode only for chunking) —
+  * at 100 TB these scan-transform-write with zero shuffles except the
+  * presentation ORDER BY, and all expressions are codegen'd built-ins.
+  *
+  * Parity notes: token/char counts are exact integers; the ratio columns
+  * are single int/int → double divisions (IEEE-identical both engines);
+  * regexes stay in the POSIX-compatible subset Java regex and RE2 agree
+  * on (classes, greedy quantifiers — no backrefs, no lookaround).
+  */
+object TextPipeline {
+
+  private def D(s: SparkSession, d: String) = Tables.t(s, d, "documents")
+
+  private val tk: Column = split(col("text"), " ")
+
+  /** Per-token-window chunks (size 40, stride 30 → 10-token overlap) —
+    * the standard LLM-pretraining document-to-context-window step. */
+  private val ChunkSize = 40
+  private val ChunkStride = 30
+
+  val defs: Map[String, Q] = Map(
+
+    // Sliding token-window chunking with overlap. explode(sequence) keeps
+    // it narrow: chunk rows are generated where the document row lives.
+    "text_chunk" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
+        .withColumn("st",
+          explode(expr(s"sequence(0, nt - 1, $ChunkStride)")))
+        .select(col("doc_id"),
+          expr(s"CAST(st div $ChunkStride AS BIGINT)").as("chunk_idx"),
+          expr(s"array_join(slice(tk, st + 1, $ChunkSize), ' ')").as("chunk_text"),
+          expr(s"CAST(size(slice(tk, st + 1, $ChunkSize)) AS BIGINT)").as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH t AS (
+                 SELECT doc_id, string_split(text, ' ') AS sp,
+                        len(string_split(text, ' ')) AS nt
+                 FROM documents),
+               e AS (SELECT doc_id, sp, nt,
+                            unnest(range(0, nt, $ChunkStride)) AS st FROM t)
+               SELECT doc_id,
+                      CAST(st // $ChunkStride AS BIGINT) AS chunk_idx,
+                      array_to_string(list_slice(sp, st + 1, least(st + $ChunkSize, nt)), ' ') AS chunk_text,
+                      len(list_slice(sp, st + 1, least(st + $ChunkSize, nt))) AS chunk_tokens
+               FROM e ORDER BY doc_id, chunk_idx""")),
+
+    // C4/Gopher-style quality gate: token-count bounds, mean-token-length
+    // band, duplicate-bigram ceiling. Emits the per-rule verdicts so a
+    // pipeline can audit WHY a document was dropped, not just that it was.
+    "filter_c4" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"), col("text"), tk.as("tk"), size(tk).as("nt"))
+        .select(col("doc_id"),
+          col("nt").cast("bigint").as("n_tok"),
+          ((length(col("text")) - (col("nt") - 1)).cast("double") / col("nt"))
+            .as("mean_tok_len"),
+          (lit(1.0) - expr(
+            """size(array_distinct(transform(sequence(1, nt - 1),
+                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
+            .cast("double") / (col("nt") - 1)).as("dup2_frac"))
+        .select(col("doc_id"), col("n_tok"), col("mean_tok_len"), col("dup2_frac"),
+          (col("n_tok") >= 20).as("ok_len"),
+          (col("mean_tok_len") <= 5.0).as("ok_mean"),
+          (col("dup2_frac") <= 0.05).as("ok_rep"))
+        .withColumn("pass", col("ok_len") && col("ok_mean") && col("ok_rep"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS sp,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents),
+              m AS (
+                SELECT doc_id, CAST(nt AS BIGINT) AS n_tok,
+                       CAST(nc - (nt - 1) AS DOUBLE) / nt AS mean_tok_len,
+                       1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
+                                i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
+                         AS dup2_frac
+                FROM t)
+              SELECT doc_id, n_tok, mean_tok_len, dup2_frac,
+                     n_tok >= 20 AS ok_len,
+                     mean_tok_len <= 5.0 AS ok_mean,
+                     dup2_frac <= 0.05 AS ok_rep,
+                     (n_tok >= 20 AND mean_tok_len <= 5.0 AND dup2_frac <= 0.05) AS pass
+              FROM m ORDER BY doc_id""")),
+
+    // Gopher repetition signals: duplicate 2-gram and 3-gram fractions.
+    "text_repetition" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
+        .select(col("doc_id"),
+          (col("nt") - 1).cast("bigint").as("n_bigrams"),
+          (lit(1.0) - expr(
+            """size(array_distinct(transform(sequence(1, nt - 1),
+                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
+            .cast("double") / (col("nt") - 1)).as("dup2_frac"),
+          (col("nt") - 2).cast("bigint").as("n_trigrams"),
+          (lit(1.0) - expr(
+            """size(array_distinct(transform(sequence(1, nt - 2),
+                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
+                             element_at(tk, i + 2)))))""")
+            .cast("double") / (col("nt") - 2)).as("dup3_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS sp,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents)
+              SELECT doc_id,
+                     CAST(nt - 1 AS BIGINT) AS n_bigrams,
+                     1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
+                              i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
+                       AS dup2_frac,
+                     CAST(nt - 2 AS BIGINT) AS n_trigrams,
+                     1.0 - CAST(len(list_distinct(list_transform(range(1, nt - 1),
+                              i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2]))) AS DOUBLE)
+                           / (nt - 2) AS dup3_frac
+              FROM t ORDER BY doc_id""")),
+
+    // PII redaction: the synthetic corpus carries no contact strings, so a
+    // deterministic contact line (derived from doc_id) is appended first;
+    // the regexes then find and scrub it — nonzero counts prove the scrub
+    // ran. RE2/Java-common patterns; DuckDB needs the explicit 'g' flag.
+    "text_pii" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact u"), col("doc_id"),
+            lit("@mail.com or 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+            .as("line"))
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("line"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
+            "555-[0-9]{4}", "[PHONE]").as("redacted"),
+          size(expr("regexp_extract_all(line, '[a-z0-9]+@[a-z]+\\\\.[a-z]+', 0)"))
+            .cast("bigint").as("n_emails"),
+          size(expr("regexp_extract_all(line, '555-[0-9]{4}', 0)"))
+            .cast("bigint").as("n_phones"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       text || ' contact u' || doc_id || '@mail.com or 555-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS line
+                FROM documents)
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(line,
+                       '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                       '555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
+                     len(regexp_extract_all(line, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+                     len(regexp_extract_all(line, '555-[0-9]{4}')) AS n_phones
+              FROM t ORDER BY doc_id""")),
+
+    // HTML strip: wrap deterministically (no markup in the corpus), then
+    // strip tags — the web-crawl → plain-text step of a training pipeline.
+    "text_html" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"),
+          concat(lit("<html><p>"),
+            regexp_replace(col("text"), " data ", " <b>data</b> "),
+            lit("</p></html>")).as("page"))
+        .select(col("doc_id"),
+          regexp_replace(col("page"), "<[^>]+>", "").as("stripped"),
+          size(expr("regexp_extract_all(page, '<[^>]+>', 0)"))
+            .cast("bigint").as("n_tags"),
+          (length(col("page")) -
+            length(regexp_replace(col("page"), "<[^>]+>", "")))
+            .cast("bigint").as("markup_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       '<html><p>' || regexp_replace(text, ' data ', ' <b>data</b> ', 'g')
+                         || '</p></html>' AS page
+                FROM documents)
+              SELECT doc_id,
+                     regexp_replace(page, '<[^>]+>', '', 'g') AS stripped,
+                     len(regexp_extract_all(page, '<[^>]+>')) AS n_tags,
+                     CAST(length(page) -
+                          length(regexp_replace(page, '<[^>]+>', '', 'g')) AS BIGINT)
+                       AS markup_chars
+              FROM t ORDER BY doc_id""")),
+
+    // Whitespace/case normalization: uppercase + pad + tab-litter the text
+    // deterministically, then normalize back (lower, collapse \s+, trim) —
+    // the canonicalization step before exact-hash dedup.
+    "text_normalize" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("\t\t END  ")).as("messy"),
+          col("text"))
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("messy"), "\\s+", " "))).as("norm"),
+          size(expr("regexp_extract_all(messy, '\\\\s+', 0)"))
+            .cast("bigint").as("n_ws_runs"),
+          (lower(trim(regexp_replace(col("messy"), "\\s+", " "))) ===
+            concat(col("text"), lit(" end"))).as("roundtrip_ok"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+                SELECT doc_id, text,
+                       '  ' || upper(text) || chr(9) || chr(9) || ' END  ' AS messy
+                FROM documents)
+              SELECT doc_id,
+                     lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))) AS norm,
+                     len(regexp_extract_all(messy, '\s+')) AS n_ws_runs,
+                     lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))) = text || ' end'
+                       AS roundtrip_ok
+              FROM t ORDER BY doc_id"""))
+  )
+}
