@@ -643,6 +643,50 @@ object Relational {
       Some("""SELECT c_custkey AS k FROM customer
               EXCEPT SELECT o_custkey FROM orders ORDER BY k""")),
 
+    // Multiset (bag) semantics: EXCEPT ALL subtracts per-key multiplicity,
+    // INTERSECT ALL keeps min(multiplicity). The trailing groupBy-count is
+    // a lossless presentation of the multiset (the driver compare needs a
+    // totally-ordered scalar table, and per-key counts ARE the multiset).
+    "set_except_all" -> Q(
+      (s, d) => O(s, d).select(col("o_custkey").as("k"))
+        .exceptAll(C(s, d).where(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+                SELECT o_custkey AS k FROM orders
+                EXCEPT ALL
+                SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+              GROUP BY k ORDER BY k""")),
+
+    "set_intersect_all" -> Q(
+      (s, d) => L(s, d).select(col("l_partkey").as("k"))
+        .intersectAll(L(s, d).where(col("l_quantity") > 25)
+          .select(col("l_partkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+                SELECT l_partkey AS k FROM lineitem
+                INTERSECT ALL
+                SELECT l_partkey FROM lineitem WHERE l_quantity > 25)
+              GROUP BY k ORDER BY k""")),
+
+    // Generator source: spark.range is the parallel integer generator
+    // (DSv2, splits across executors like any scan — the synthetic-data /
+    // spine-building primitive). Projection math stays in exact int64.
+    "scan_range" -> Q(
+      (s, _) => s.range(0, 100000).select(
+        col("id"),
+        (col("id") * 2654435761L % 1000003L).as("h"),
+        expr("id div 7").as("q"),
+        (col("id") * 37 % 100).as("bucket"))
+        .orderBy("id"),
+      Some("""SELECT id,
+                     id * 2654435761 % 1000003 AS h,
+                     id // 7 AS q,
+                     id * 37 % 100 AS bucket
+              FROM range(0, 100000) t(id) ORDER BY id""")),
+
     // ------------------------------------------- CDC / sampling / layout
 
     // MERGE/upsert semantics (the CDC apply step every incremental pipeline

@@ -327,6 +327,112 @@ object Scalar {
                           WHEN c_acctbal < 5000 THEN 'mid'
                           ELSE 'high' END AS bal_band,
                      coalesce(c_nationkey, -1) AS nat
-              FROM customer ORDER BY c_custkey"""))
+              FROM customer ORDER BY c_custkey""")),
+
+    // Struct surface: build, dot-access, lexicographic struct comparison
+    // (including the tie-break on the second field), array-of-struct sort.
+    // The oracle replays the struct SEMANTICS with row-value comparison /
+    // CASE — outputs stay scalar (driver's pandas compare can't hash
+    // nested cells).
+    "fn_struct" -> Q(
+      (s, d) => O(s, d).select(
+        col("o_orderkey"),
+        expr("named_struct('st', o_orderstatus, 'tp', o_totalprice).st").as("st"),
+        (expr("named_struct('st', o_orderstatus, 'tp', o_totalprice).tp") * 2)
+          .as("tp2"),
+        expr("struct(o_custkey % 7, 'x') < struct(o_orderkey % 7, 'y')").as("lt"),
+        expr("""array_sort(array(struct(o_custkey % 7 AS a, 'x' AS b),
+                                 struct(o_orderkey % 7 AS a, 'y' AS b)))[0].b""")
+          .as("min_tag"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     o_orderstatus AS st,
+                     o_totalprice * 2 AS tp2,
+                     (o_custkey % 7, 'x') < (o_orderkey % 7, 'y') AS lt,
+                     CASE WHEN o_custkey % 7 <= o_orderkey % 7 THEN 'x'
+                          ELSE 'y' END AS min_tag
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Map surface: construct, lookup, concat (last-wins), transform_values,
+    // map_filter, key listing. DuckDB has no map_concat/transform_values/
+    // map_filter — the oracle computes the same scalar outputs directly
+    // (the zip_with replay precedent from round 2).
+    "fn_map2" -> Q(
+      (s, d) => E(s, d).select(
+        col("event_id"),
+        element_at(expr("map('t', event_type, 'u', CAST(user_id AS STRING))"),
+          "t").as("etype"),
+        // NOTE: Spark's default mapKeyDedupPolicy=EXCEPTION makes
+        // overlapping-key map_concat a runtime error — disjoint keys are
+        // the portable semantics.
+        element_at(expr("map_concat(map('x', 1, 'y', 2), map('z', 30))"),
+          "z").cast("bigint").as("z_concat"),
+        element_at(expr("transform_values(map('v', value), (k, v) -> v * 2)"),
+          "v").as("v2"),
+        size(expr("map_filter(map('a', value, 'b', value - 250), (k, v) -> v > 0)"))
+          .cast("bigint").as("n_pos"),
+        expr("array_join(map_keys(map('t', event_type, 'u', '')), ',')")
+          .as("keys"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     event_type AS etype,
+                     CAST(30 AS BIGINT) AS z_concat,
+                     value * 2 AS v2,
+                     CAST(CASE WHEN value > 0 THEN 1 ELSE 0 END +
+                          CASE WHEN value - 250 > 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS n_pos,
+                     't,u' AS keys
+              FROM events ORDER BY event_id""")),
+
+    // Cast surface: string/date/decimal round-trips + try_cast null-on-
+    // failure and null-on-overflow. Divergent casts are avoided by design:
+    // double→int rounds in DuckDB but truncates in Spark, so any such cast
+    // goes through an explicit floor/round first (none needed here).
+    "fn_cast" -> Q(
+      (s, d) => O(s, d).select(
+        col("o_orderkey"),
+        col("o_orderdate").cast("string").as("ts_str"),
+        col("o_orderdate").cast("date").cast("string").as("date_str"),
+        col("o_orderkey").cast("string").cast("bigint").as("key_rt"),
+        expr("try_cast(o_orderpriority AS INT)").cast("bigint").as("bad_int"),
+        substring(col("o_orderpriority"), 1, 1).cast("bigint").as("prio_digit"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price_dec_rt"),
+        (col("o_orderkey") % 2).cast("boolean").as("odd"),
+        expr("try_cast(o_totalprice * 1e15 AS BIGINT)").as("overflow_null"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(o_orderdate AS VARCHAR) AS ts_str,
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+                     CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_rt,
+                     CAST(try_cast(o_orderpriority AS INT) AS BIGINT) AS bad_int,
+                     CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_digit,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec_rt,
+                     CAST(o_orderkey % 2 AS BOOLEAN) AS odd,
+                     try_cast(o_totalprice * 1e15 AS BIGINT) AS overflow_null
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Hash/encoding surface: md5 + sha256 content hashes (the dedup
+    // fingerprint primitives), hex of integers, ascii/chr, base64. All
+    // exact string functions — no float anywhere.
+    "fn_hash" -> Q(
+      (s, d) => P(s, d).select(
+        col("p_partkey"),
+        md5(col("p_name")).as("h_md5"),
+        sha2(col("p_name"), 256).as("h_sha256"),
+        md5(concat(col("p_brand"), lit("|"), col("p_type"))).as("h_combo"),
+        hex(col("p_partkey")).as("key_hex"),
+        ascii(substring(col("p_name"), 1, 1)).cast("bigint").as("first_ascii"),
+        expr("chr(65 + p_partkey % 26)").as("letter"),
+        base64(col("p_name").cast("binary")).as("b64"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     md5(p_name) AS h_md5,
+                     sha256(p_name) AS h_sha256,
+                     md5(p_brand || '|' || p_type) AS h_combo,
+                     hex(p_partkey) AS key_hex,
+                     CAST(ascii(substring(p_name, 1, 1)) AS BIGINT) AS first_ascii,
+                     chr(CAST(65 + p_partkey % 26 AS INT)) AS letter,
+                     base64(encode(p_name)) AS b64
+              FROM part ORDER BY p_partkey"""))
   )
 }

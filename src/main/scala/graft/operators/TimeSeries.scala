@@ -270,6 +270,131 @@ object TimeSeries {
                      count(DISTINCT e.user_id) AS n_users
               FROM events e JOIN first ON e.user_id = first.user_id
               GROUP BY cohort_wk, active_wk
-              ORDER BY cohort_wk, active_wk"""))
+              ORDER BY cohort_wk, active_wk""")),
+
+    // Resample to a regular hourly grid per user with linear interpolation
+    // between the surrounding events — the irregular-series → fixed-step
+    // regularization every sensor/metrics pipeline needs. Implementation:
+    // union the hour-grid rows (null value) with the events, then one
+    // window pass per direction fills prev/next (value, time) via
+    // last/first IGNORE NULLS; interpolation is a single int64→double
+    // division both engines execute identically. One shuffle on user_id;
+    // the grid explode is narrow (bounded by each user's time span).
+    "ts_resample" -> Q(
+      (s, d) => {
+        val H = 3600000000L // 1 hour in µs
+        val ev = E(s, d).select(col("user_id"), usec(col("ts")).as("t"),
+          col("value").as("v"), col("event_id").as("eid"))
+          .withColumn("tv", col("t")).withColumn("is_grid", lit(0))
+        val grid = ev.groupBy("user_id")
+          .agg(min("t").as("tmin"), max("t").as("tmax"))
+          .select(col("user_id"),
+            expr(s"(tmin + ${H - 1}) div $H").as("gs"),
+            expr(s"tmax div $H").as("ge"))
+          .where(col("gs") <= col("ge"))
+          .select(col("user_id"),
+            explode(expr("sequence(gs, ge)")).as("g"))
+          .select(col("user_id"), (col("g") * H).as("t"),
+            lit(null).cast("double").as("v"), lit(-1L).as("eid"),
+            lit(null).cast("bigint").as("tv"), lit(1).as("is_grid"))
+        val wa = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("is_grid"), col("eid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wd = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("is_grid"), col("eid"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.select("user_id", "t", "v", "eid", "tv", "is_grid")
+          .union(grid)
+          .select(col("user_id"), col("t"), col("is_grid"),
+            last(col("v"), ignoreNulls = true).over(wa).as("pv"),
+            last(col("tv"), ignoreNulls = true).over(wa).as("pt"),
+            first(col("v"), ignoreNulls = true).over(wd).as("nv"),
+            first(col("tv"), ignoreNulls = true).over(wd).as("nt"))
+          .where(col("is_grid") === 1)
+          .select(col("user_id"),
+            expr("timestamp_micros(t)").cast("timestamp_ntz").as("g_ts"),
+            when(col("nv").isNull, col("pv"))
+              .when(col("pt") === col("t"), col("pv"))
+              .otherwise(col("pv") + (col("nv") - col("pv")) *
+                ((col("t") - col("pt")).cast("double") /
+                  (col("nt") - col("pt")).cast("double"))).as("v_interp"))
+          .orderBy("user_id", "g_ts")
+      },
+      Some("""WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS t, value AS v, event_id AS eid,
+                       epoch_us(ts) AS tv, 0 AS is_grid
+                FROM events),
+              span AS (
+                SELECT user_id, (min(t) + 3599999999) // 3600000000 AS gs,
+                       max(t) // 3600000000 AS ge
+                FROM ev GROUP BY user_id),
+              grid AS (
+                SELECT user_id, unnest(range(gs, ge + 1)) * 3600000000 AS t,
+                       CAST(NULL AS DOUBLE) AS v, CAST(-1 AS BIGINT) AS eid,
+                       CAST(NULL AS BIGINT) AS tv, 1 AS is_grid
+                FROM span WHERE gs <= ge),
+              u AS (SELECT * FROM ev UNION ALL SELECT * FROM grid),
+              w AS (
+                SELECT user_id, t, is_grid,
+                       last_value(v IGNORE NULLS)  OVER wa AS pv,
+                       last_value(tv IGNORE NULLS) OVER wa AS pt,
+                       first_value(v IGNORE NULLS)  OVER wd AS nv,
+                       first_value(tv IGNORE NULLS) OVER wd AS nt
+                FROM u
+                WINDOW wa AS (PARTITION BY user_id ORDER BY t, is_grid, eid
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wd AS (PARTITION BY user_id ORDER BY t, is_grid, eid
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT user_id, make_timestamp(t) AS g_ts,
+                     CASE WHEN nv IS NULL THEN pv
+                          WHEN pt = t THEN pv
+                          ELSE pv + (nv - pv) *
+                               (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                     END AS v_interp
+              FROM w WHERE is_grid = 1
+              ORDER BY user_id, g_ts""")),
+
+    // Rolling 7-event statistics per event_type: exact median (odd frame →
+    // an exact element, no interpolation ambiguity), min/max, and an exact
+    // decimal rolling sum. Frames shorter than 7 rows are filtered so
+    // every emitted frame has exactly 7 elements. At 100 TB the partition
+    // key would widen to (event_type, day) with an overlap carry — noted;
+    // event_type alone keeps the oracle exactly replayable.
+    "ts_rolling" -> Q(
+      (s, d) => {
+        val ord = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("event_id"))
+        val w7 = ord.rowsBetween(-6, Window.currentRow)
+        E(s, d).select(col("event_type"), col("event_id"), col("value"),
+          usec(col("ts")).as("t"))
+          .select(col("event_type"), col("event_id"),
+            row_number().over(ord).as("rn"),
+            expr("percentile(value, 0.5)").over(w7).as("roll_med"),
+            min("value").over(w7).as("roll_min"),
+            max("value").over(w7).as("roll_max"),
+            sum(col("value").cast("decimal(38,6)")).over(w7)
+              .cast("double").as("roll_sum"))
+          .where(col("rn") >= 7)
+          .select("event_type", "event_id", "roll_med", "roll_min",
+            "roll_max", "roll_sum")
+          .orderBy("event_type", "event_id")
+      },
+      Some("""SELECT event_type, event_id, roll_med, roll_min, roll_max, roll_sum
+              FROM (
+                SELECT event_type, event_id,
+                       row_number() OVER wo AS rn,
+                       quantile_cont(value, 0.5) OVER w7 AS roll_med,
+                       min(value) OVER w7 AS roll_min,
+                       max(value) OVER w7 AS roll_max,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w7 AS DOUBLE)
+                         AS roll_sum
+                FROM events
+                WINDOW wo AS (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id),
+                       w7 AS (PARTITION BY event_type
+                              ORDER BY epoch_us(ts), event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              WHERE rn >= 7
+              ORDER BY event_type, event_id"""))
   )
 }
