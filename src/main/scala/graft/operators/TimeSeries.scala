@@ -283,41 +283,43 @@ object TimeSeries {
     "ts_resample" -> Q(
       (s, d) => {
         val H = 3600000000L // 1 hour in µs
-        val ev = E(s, d).select(col("user_id"), usec(col("ts")).as("t"),
-          col("value").as("v"), col("event_id").as("eid"))
-          .withColumn("tv", col("t")).withColumn("is_grid", lit(0))
-        val grid = ev.groupBy("user_id")
-          .agg(min("t").as("tmin"), max("t").as("tmax"))
+        // Interval formulation: ONE lead() window over the events (after
+        // collapsing same-(user,t) duplicates to the max-event_id row, the
+        // tie the union formulation resolves identically), then each
+        // interval [t, next_t) emits its grid hours by a narrow explode —
+        // no events∪grid union, no second full-partition window pass.
+        // Grid points land exactly once: g == t goes to the interval that
+        // STARTS at t; the last event emits its own timestamp iff it sits
+        // exactly on an hour (frac-0 ⇒ value pv, matching the oracle's
+        // nv-IS-NULL / pt = t branches).
+        val dedup = Window.partitionBy("user_id", "t")
+          .orderBy(col("eid").desc)
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("eid"))
+        E(s, d).select(col("user_id"), usec(col("ts")).as("t"),
+            col("value").as("v"), col("event_id").as("eid"))
+          .withColumn("rd", row_number().over(dedup))
+          .where(col("rd") === 1)
+          .select(col("user_id"), col("t"), col("v"),
+            lead(col("t"), 1).over(ord).as("nt"),
+            lead(col("v"), 1).over(ord).as("nv"))
+          .withColumn("lo", expr(s"(t + ${H - 1}) div $H"))
+          .withColumn("hi", expr(
+            s"""CASE WHEN nt IS NULL THEN t div $H
+                     WHEN nt % $H = 0 THEN nt div $H - 1
+                     ELSE nt div $H END"""))
+          // sequence(a, b) DESCENDS when a > b — hour-free intervals must
+          // yield an empty array (dropped by explode), never [a, b]
+          .withColumn("g", explode(when(col("lo") <= col("hi"),
+            expr("sequence(lo, hi)"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
           .select(col("user_id"),
-            expr(s"(tmin + ${H - 1}) div $H").as("gs"),
-            expr(s"tmax div $H").as("ge"))
-          .where(col("gs") <= col("ge"))
-          .select(col("user_id"),
-            explode(expr("sequence(gs, ge)")).as("g"))
-          .select(col("user_id"), (col("g") * H).as("t"),
-            lit(null).cast("double").as("v"), lit(-1L).as("eid"),
-            lit(null).cast("bigint").as("tv"), lit(1).as("is_grid"))
-        val wa = Window.partitionBy("user_id")
-          .orderBy(col("t"), col("is_grid"), col("eid"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wd = Window.partitionBy("user_id")
-          .orderBy(col("t"), col("is_grid"), col("eid"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ev.select("user_id", "t", "v", "eid", "tv", "is_grid")
-          .union(grid)
-          .select(col("user_id"), col("t"), col("is_grid"),
-            last(col("v"), ignoreNulls = true).over(wa).as("pv"),
-            last(col("tv"), ignoreNulls = true).over(wa).as("pt"),
-            first(col("v"), ignoreNulls = true).over(wd).as("nv"),
-            first(col("tv"), ignoreNulls = true).over(wd).as("nt"))
-          .where(col("is_grid") === 1)
-          .select(col("user_id"),
-            expr("timestamp_micros(t)").cast("timestamp_ntz").as("g_ts"),
-            when(col("nv").isNull, col("pv"))
-              .when(col("pt") === col("t"), col("pv"))
-              .otherwise(col("pv") + (col("nv") - col("pv")) *
-                ((col("t") - col("pt")).cast("double") /
-                  (col("nt") - col("pt")).cast("double"))).as("v_interp"))
+            expr(s"timestamp_micros(g * $H)").cast("timestamp_ntz").as("g_ts"),
+            when(col("nv").isNull, col("v"))
+              .when(col("t") === col("g") * H, col("v"))
+              .otherwise(col("v") + (col("nv") - col("v")) *
+                ((col("g") * H - col("t")).cast("double") /
+                  (col("nt") - col("t")).cast("double"))).as("v_interp"))
           .orderBy("user_id", "g_ts")
       },
       Some("""WITH ev AS (

@@ -120,6 +120,22 @@ class PlanSuite extends SparkSpec {
       plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("text pipeline ops are narrow maps — only the presentation sort shuffles") {
+    for (k <- Seq("text_pii", "text_html", "text_normalize", "text_repetition",
+        "filter_c4")) {
+      val n = countShuffles(SparkEntry.queries(k)(spark, sf))
+      assert(n <= 1, s"$k: expected <=1 shuffle (final sort), got $n")
+    }
+    // chunking adds the explode but stays narrow too
+    val n = countShuffles(SparkEntry.queries("text_chunk")(spark, sf))
+    assert(n <= 1, s"text_chunk: expected <=1 shuffle, got $n")
+  }
+
+  test("scan_range generates in parallel with no shuffle before the sort") {
+    val n = countShuffles(SparkEntry.queries("scan_range")(spark, sf))
+    assert(n <= 1, s"expected <=1 shuffle, got $n")
+  }
+
   test("join_bucketed runs with ZERO shuffle exchanges") {
     val df = SparkEntry.queries("join_bucketed")(spark, sf)
     // builder writes the bucketed tables, then the join+agg reuse buckets;
