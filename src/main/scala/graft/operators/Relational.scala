@@ -946,6 +946,33 @@ object Relational {
                                   WHERE i.l_partkey = o.l_partkey)
               ORDER BY l_orderkey, l_linenumber, l_quantity""")),
 
+    // Correlated LATERAL subquery — the other decorrelation shape (a
+    // per-row derived TABLE, not a scalar): Catalyst rewrites it into a
+    // left outer aggregate-join, same as the 100 TB-safe hand-written
+    // plan. max() of an empty group is NULL and count() is 0, so every
+    // order emits exactly one row on both engines.
+    "sql_lateral" -> Q(
+      (s, d) => {
+        O(s, d).createOrReplaceTempView("graft_ord_lat")
+        L(s, d).createOrReplaceTempView("graft_li_lat")
+        s.sql("""SELECT o.o_orderkey, l.max_qty, l.n_hi
+                 FROM graft_ord_lat o,
+                      LATERAL (SELECT max(l_quantity) AS max_qty,
+                                      count(*) AS n_hi
+                               FROM graft_li_lat
+                               WHERE l_orderkey = o.o_orderkey
+                                 AND l_quantity > 10) l
+                 ORDER BY o.o_orderkey""")
+      },
+      Some("""SELECT o.o_orderkey, l.max_qty, l.n_hi
+              FROM orders o,
+                   LATERAL (SELECT max(l_quantity) AS max_qty,
+                                   count(*) AS n_hi
+                            FROM lineitem
+                            WHERE l_orderkey = o.o_orderkey
+                              AND l_quantity > 10) l
+              ORDER BY o.o_orderkey""")),
+
     // Weighted mean (revenue-weighted discount): two exact decimal sums
     // and one IEEE division — the aggregation shape quality-weighted
     // corpus sampling uses. Map-side combine on both sums, one shuffle.
