@@ -70,6 +70,26 @@ object Sessions {
   }
 }
 
+/** Per-application scratch directories under java.io.tmpdir, registered
+  * for recursive delete at JVM exit (repeated runs must not accumulate
+  * per-app round-trip copies). */
+object Scratch {
+  private val dirs = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
+  sys.addShutdownHook {
+    dirs.keySet.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(p))
+    }
+  }
+  def dir(s: SparkSession, tag: String): String = {
+    val p = sys.props("java.io.tmpdir") +
+      s"/graft_rt_${tag}_${s.sparkContext.applicationId}"
+    dirs.put(p, ()); p
+  }
+}
+
 /** Oracle-parity aggregation helpers.
   *
   * Double `sum()` is partial/final across partitions in Spark but sequential

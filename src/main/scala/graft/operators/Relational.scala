@@ -33,27 +33,14 @@ object Relational {
   /** l_extendedprice*(1-l_discount) */
   private val discPrice: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
-  /** Round-trip scratch dir, unique per Spark application: a parallel bench
-    * + verify (or forked test JVMs) must not overwrite each other mid-read.
-    * Every dir is registered for recursive delete at JVM exit so repeated
-    * runs don't accumulate per-app copies under java.io.tmpdir. */
-  private val rtDirs = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
-  sys.addShutdownHook {
-    rtDirs.keySet.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(p))
-    }
-  }
   /** join_bucketed setup memo — see the query's comment. */
   private val bktReady =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 
-  private def rtTmp(s: SparkSession, fmt: String): String = {
-    val p = sys.props("java.io.tmpdir") + s"/graft_rt_${fmt}_${s.sparkContext.applicationId}"
-    rtDirs.put(p, ()); p
-  }
+  /** Round-trip scratch dir, unique per Spark application: a parallel bench
+    * + verify (or forked test JVMs) must not overwrite each other mid-read;
+    * graft.Scratch registers every dir for delete at JVM exit. */
+  private def rtTmp(s: SparkSession, fmt: String): String = graft.Scratch.dir(s, fmt)
 
   // ---------------------------------------------------------------- scans
 
@@ -690,6 +677,28 @@ object Relational {
                      id // 7 AS q,
                      id * 37 % 100 AS bucket
               FROM range(0, 100000) t(id) ORDER BY id""")),
+
+    // Bitmap aggregation — the fixed-width distinct sketch: bit_or of
+    // one-hot masks is commutative+associative (merge-order independent,
+    // like any distributed sketch), and bit_count reads the cardinality
+    // out. 60 slots here; at scale this is roaring-bitmap territory, but
+    // the int64 version IS the exact semantics at ≤64 slots.
+    "agg_bitmap" -> Q(
+      (s, d) => E(s, d).groupBy("event_type")
+        .agg(
+          expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT)))")
+            .as("slot_mask"),
+          expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))))")
+            .cast("bigint").as("n_slots"),
+          countDistinct(expr("user_id % 60")).as("n_exact"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+                     bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))
+                       AS slot_mask,
+                     CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)))
+                          AS BIGINT) AS n_slots,
+                     count(DISTINCT user_id % 60) AS n_exact
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------- CDC / sampling / layout
 

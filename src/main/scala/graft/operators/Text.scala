@@ -524,6 +524,93 @@ object Text {
             ORDER BY doc_id"""
       }),
 
+    // The full MinHash-LSH dedup pipeline as ONE oracled query: shingle-
+    // hash sets → 4 deterministic minhash permutations → two 2-row bands →
+    // per-band equi-join candidate generation (UNION dedups) → exact
+    // shingle-Jaccard verification of candidates only. This is the
+    // 100 TB near-dup path end-to-end: band joins are hash joins whose
+    // bucket occupancy bounds the pair count (max bucket 10 docs at
+    // sf0.1), and verification touches candidates, never corpus².
+    // Token-level minhash is NOT used: this corpus' ~30-word vocabulary
+    // makes token-set minima collide (3707-doc buckets measured); the
+    // 3-token shingle universe is |vocab|³ — diverse.
+    "dedup_lsh" -> Q(
+      (s, d) => {
+        val hsExpr = expr(
+          """array_distinct(transform(sequence(1, size(t) - 2), i ->
+               ((CAST(ascii(substring(element_at(t, i), 1, 1)) AS BIGINT) * 100
+                   + length(element_at(t, i))) * 131071
+                + (CAST(ascii(substring(element_at(t, i + 1), 1, 1)) AS BIGINT) * 100
+                   + length(element_at(t, i + 1)))) * 131071
+                + (CAST(ascii(substring(element_at(t, i + 2), 1, 1)) AS BIGINT) * 100
+                   + length(element_at(t, i + 2)))))""")
+        def mh(a: Long, b: Long) = array_min(transform(col("hs"),
+          v => (v * a + b) % 1000000007L))
+        val sig = D(s, d).select(col("doc_id"), toks.as("t"))
+          .where(size(col("t")) >= 3)
+          .select(col("doc_id"), hsExpr.as("hs"))
+          .select(col("doc_id"), col("hs"),
+            mh(131L, 17L).as("mh0"), mh(137L, 19L).as("mh1"),
+            mh(139L, 23L).as("mh2"), mh(149L, 29L).as("mh3"))
+          .localCheckpoint()
+        def side(p: String) = sig.select(col("doc_id").as(s"i$p"),
+          col("mh0").as(s"${p}0"), col("mh1").as(s"${p}1"),
+          col("mh2").as(s"${p}2"), col("mh3").as(s"${p}3"))
+        val (a, b) = (side("a"), side("b"))
+        val cand = a.join(b, col("a0") === col("b0") && col("a1") === col("b1")
+              && col("ia") < col("ib")).select("ia", "ib")
+          .union(a.join(b, col("a2") === col("b2") && col("a3") === col("b3")
+              && col("ia") < col("ib")).select("ia", "ib"))
+          .distinct()
+        val common = size(array_intersect(col("ha"), col("hb")))
+        cand
+          .join(sig.select(col("doc_id").as("ia"), col("hs").as("ha")), "ia")
+          .join(sig.select(col("doc_id").as("ib"), col("hs").as("hb")), "ib")
+          .select(col("ia"), col("ib"),
+            (common.cast("double") /
+              (size(col("ha")) + size(col("hb")) - common)).as("jac"))
+          .where(col("jac") >= 0.4)
+          .orderBy("ia", "ib")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS sp,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, nt - 1), i ->
+                         ((CAST(ascii(substring(sp[i], 1, 1)) AS BIGINT) * 100
+                             + length(sp[i])) * 131071
+                          + (CAST(ascii(substring(sp[i+1], 1, 1)) AS BIGINT) * 100
+                             + length(sp[i+1]))) * 131071
+                          + (CAST(ascii(substring(sp[i+2], 1, 1)) AS BIGINT) * 100
+                             + length(sp[i+2])))) AS hs
+                FROM t WHERE nt >= 3),
+              sig AS (
+                SELECT doc_id, hs,
+                       list_min(list_transform(hs, v -> (v * 131 + 17) % 1000000007)) AS mh0,
+                       list_min(list_transform(hs, v -> (v * 137 + 19) % 1000000007)) AS mh1,
+                       list_min(list_transform(hs, v -> (v * 139 + 23) % 1000000007)) AS mh2,
+                       list_min(list_transform(hs, v -> (v * 149 + 29) % 1000000007)) AS mh3
+                FROM sh),
+              cand AS (
+                SELECT a.doc_id AS ia, b.doc_id AS ib FROM sig a JOIN sig b
+                  ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+                UNION
+                SELECT a.doc_id, b.doc_id FROM sig a JOIN sig b
+                  ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id)
+              SELECT ia, ib,
+                     CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                     (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                       AS jac
+              FROM cand
+              JOIN sig sa ON sa.doc_id = ia
+              JOIN sig sb ON sb.doc_id = ib
+              WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) /
+                    (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                      >= 0.4
+              ORDER BY ia, ib""")),
+
     // Graph analytics over the near-dup pair graph: per-node degree +
     // triangle participation (a<b<c orientation counts each triangle
     // once). Pure integer join/agg — exact on both engines; at 100 TB

@@ -210,6 +210,64 @@ object TextPipeline {
                      len(regexp_extract_all(messy, '\s+')) AS n_ws_runs,
                      lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))) = text || ' end'
                        AS roundtrip_ok
-              FROM t ORDER BY doc_id"""))
+              FROM t ORDER BY doc_id""")),
+
+    // Suffix-strip stemmer (Porter step-1-ish): same alternation order =
+    // same result on both regex engines. Narrow per-token map.
+    "text_stem" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          expr("""array_join(transform(tk,
+                    t -> regexp_replace(t, '(ing|ed|es|s)$', '')), ' ')""")
+            .as("stemmed"),
+          expr("""CAST(size(filter(tk,
+                    t -> regexp_replace(t, '(ing|ed|es|s)$', '') != t))
+                  AS BIGINT)""").as("n_stemmed"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                         FROM documents)
+              SELECT doc_id,
+                     array_to_string(list_transform(tk,
+                       t -> regexp_replace(t, '(ing|ed|es|s)$', '')), ' ')
+                       AS stemmed,
+                     CAST(len(list_filter(tk,
+                       t -> regexp_replace(t, '(ing|ed|es|s)$', '') != t))
+                       AS BIGINT) AS n_stemmed
+              FROM t ORDER BY doc_id""")),
+
+    // URL parsing (the crawl-metadata op): URLs are synthesized
+    // deterministically from doc columns, so parse_url's outputs have an
+    // exact constructed truth the oracle states directly.
+    "text_url" -> Q(
+      (s, d) => D(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id"), lit("?lang="), col("lang")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("qlang"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     source || '.example.com' AS host,
+                     '/docs/' || doc_id AS path,
+                     lang AS qlang
+              FROM documents ORDER BY doc_id""")),
+
+    // Plain-text round-trip (4th format family after csv/json/orc): lines
+    // are key|text records; the read side parses them back with split_part.
+    "scan_text_rt" -> Q(
+      (s, d) => {
+        val tmp = graft.Scratch.dir(s, "txt")
+        D(s, d).select(concat(col("doc_id"), lit("|"), col("text")).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(
+            expr("split_part(value, '|', 1)").cast("bigint").as("doc_id"),
+            expr("substring(value, instr(value, '|') + 1)").as("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
   )
 }

@@ -95,6 +95,25 @@ class PipelineSuite extends SparkSpec {
       col("roll_sum") > col("roll_max") * 7 + 1e-9).isEmpty)
   }
 
+  test("agg_bitmap: bit_count of the mask equals the exact slot count") {
+    val b = SparkEntry.queries("agg_bitmap")(spark, sf)
+    assert(b.where(col("n_slots") =!= col("n_exact")).isEmpty,
+      "int64 bitmap must be exact at <=64 slots")
+  }
+
+  test("dedup_lsh: verified pairs are oriented, unique, and jac-bounded") {
+    val p = SparkEntry.queries("dedup_lsh")(spark, sf)
+    assert(p.where(col("ia") >= col("ib")).isEmpty)
+    assert(p.where(col("jac") < 0.4 || col("jac") > 1.0).isEmpty)
+    assert(p.count() == p.select("ia", "ib").distinct().count())
+  }
+
+  test("scan_text_rt: round-trip preserves every document") {
+    val t = SparkEntry.queries("scan_text_rt")(spark, sf)
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "text")
+    assert(t.exceptAll(docs).isEmpty && docs.exceptAll(t).isEmpty)
+  }
+
   test("fn_hash: md5/sha256 have canonical widths and are hex") {
     val h = SparkEntry.queries("fn_hash")(spark, sf)
     assert(h.where(length(col("h_md5")) =!= 32 ||
