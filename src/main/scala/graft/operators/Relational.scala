@@ -443,6 +443,38 @@ object Relational {
                      count(*) AS cnt
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Discrete percentiles: PERCENTILE_DISC picks an ACTUAL element (the
+    // smallest value whose cume_dist >= p, i.e. the ceil(p·n)-th smallest)
+    // — no interpolation, so the emitted doubles are corpus values passed
+    // through untouched. DuckDB's quantile_disc uses a different index
+    // convention, so the oracle replays Spark's definition explicitly via
+    // row_number/count — same element, provably, for any tie pattern
+    // (equal values are adjacent under ORDER BY value).
+    "agg_percentile_disc" -> Q(
+      (s, d) => L(s, d).groupBy("l_returnflag")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p75"))
+        .orderBy("l_returnflag"),
+      Some("""WITH r AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_extendedprice) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem)
+              SELECT l_returnflag,
+                     max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                              THEN l_extendedprice END) AS p25,
+                     max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                              THEN l_extendedprice END) AS p50,
+                     max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                              THEN l_extendedprice END) AS p75
+              FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ROLLUP super-aggregate rows contain NULLs → order with explicit
     // NULLS FIRST on both engines (DuckDB defaults to NULLS LAST on ASC).
     "agg_grouping_sets" -> Q(

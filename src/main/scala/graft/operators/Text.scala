@@ -648,6 +648,64 @@ object Text {
                SELECT deg.node AS doc_id, deg.degree,
                       coalesce(tc.n_tri, 0) AS n_triangles
                FROM deg LEFT JOIN tc ON deg.node = tc.node
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // PageRank (5 unrolled power iterations, d=0.85) over the undirected
+    // near-dup graph — "which documents sit at the center of a duplication
+    // cluster" (dedup keep-policy by centrality). Iterative DataFrame
+    // loop, one join+agg shuffle per iteration, lineage truncated by
+    // localCheckpoint — the same shape GraphX/Pregel lowers to. No
+    // dangling nodes by construction (every node in the edge list has
+    // degree >= 1). Per-node inbound sums use the exact DECIMAL(38,6)
+    // pattern so merge order can't perturb the doubles; the per-edge
+    // division and the teleport+damping combine are single pinned IEEE
+    // expression trees on both engines. Oracle: the same five iterations
+    // unrolled as CTEs.
+    "graph_pagerank" -> Q(
+      (s, d) => {
+        val pr = jacPairs(s, d, 0.8).select("ia", "ib").localCheckpoint()
+        val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
+        val deg = edges.groupBy("a").agg(count(lit(1)).as("degree"))
+        // (a, b, degree-of-a): contribution denominators travel with the
+        // edge so the loop below is join(ranks)+agg only.
+        val ed = edges.join(deg, "a").localCheckpoint()
+        val nn = deg.agg(count(lit(1)).as("nv"))
+        var r = deg.crossJoin(nn).select(col("a").as("node"),
+          (lit(1.0) / col("nv").cast("double")).as("r"))
+        for (_ <- 1 to 5) {
+          r = ed.join(r, col("node") === col("a"))
+            .groupBy("b")
+            .agg(dsum(col("r") / col("degree")).as("m"))
+            .crossJoin(nn)
+            .select(col("b").as("node"),
+              (lit(0.15) / col("nv").cast("double") +
+                lit(0.85) * col("m")).as("r"))
+            .localCheckpoint()
+        }
+        r.select(col("node").as("doc_id"), col("r").as("pagerank"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val iters = (1 to 5).map { i =>
+          s"""r$i AS (
+                SELECT ed.b AS node,
+                       0.15 / CAST((SELECT nv FROM nn) AS DOUBLE) +
+                       0.85 * ${oSum("r.r / ed.degree")} AS r
+                FROM ed JOIN r${i - 1} r ON ed.a = r.node
+                GROUP BY ed.b)"""
+        }.mkString(",\n")
+        s"""WITH ${oJacPairs("0.8")},
+            edges AS (SELECT ia AS a, ib AS b FROM pairs
+                      UNION ALL SELECT ib, ia FROM pairs),
+            deg AS (SELECT a, count(*) AS degree FROM edges GROUP BY a),
+            ed AS (SELECT e.a, e.b, deg.degree
+                   FROM edges e JOIN deg ON e.a = deg.a),
+            nn AS (SELECT count(*) AS nv FROM deg),
+            r0 AS (SELECT a AS node,
+                          1.0 / CAST((SELECT nv FROM nn) AS DOUBLE) AS r
+                   FROM deg),
+            $iters
+            SELECT node AS doc_id, r AS pagerank FROM r5 ORDER BY doc_id"""
+      })
   )
 }

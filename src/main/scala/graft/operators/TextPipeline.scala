@@ -255,6 +255,88 @@ object TextPipeline {
                      lang AS qlang
               FROM documents ORDER BY doc_id""")),
 
+    // Span-level intra-corpus dedup accounting (Dolma-style paragraph
+    // dedup recast to fixed 20-token spans — this corpus has no paragraph
+    // breaks): hash every non-overlapping span, count how many DISTINCT
+    // documents each span appears in, and report per document how much of
+    // it is corpus-duplicated. The downstream scrubber drops spans with
+    // df >= 2. Two hash shuffles at any scale (span-hash df, then doc_id
+    // re-agg) — spans are hashed to md5 so the shuffle key is 32 bytes,
+    // never the span text.
+    "dedup_span" -> Q(
+      (s, d) => {
+        val sp = D(s, d)
+          .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
+          .withColumn("st", explode(expr("sequence(0, nt - 1, 20)")))
+          .select(col("doc_id"),
+            md5(expr("array_join(slice(tk, st + 1, 20), ' ')")).as("h"))
+        val df = sp.groupBy("h").agg(countDistinct("doc_id").as("dfreq"))
+        sp.join(df, "h")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("dfreq") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans")).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS sp,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents),
+              sh AS (
+                SELECT doc_id,
+                       md5(array_to_string(
+                         list_slice(sp, st + 1, least(st + 20, nt)), ' ')) AS h
+                FROM (SELECT doc_id, sp, nt,
+                             unnest(range(0, nt, 20)) AS st FROM t)),
+              d AS (SELECT h, count(DISTINCT doc_id) AS dfreq
+                    FROM sh GROUP BY h)
+              SELECT sh.doc_id, count(*) AS n_spans,
+                     CAST(count_if(dfreq >= 2) AS BIGINT) AS n_dup_spans,
+                     CAST(count_if(dfreq >= 2) AS DOUBLE) / count(*) AS dup_frac
+              FROM sh JOIN d ON sh.h = d.h
+              GROUP BY sh.doc_id ORDER BY doc_id""")),
+
+    // Benchmark decontamination: flag corpus documents sharing any 5-token
+    // shingle with a held-out probe set (doc_id % 97 = 0 stands in for the
+    // eval benchmark). The standard n-gram contamination check every
+    // pretraining pipeline runs. Shingle inventories are distinct
+    // (doc, md5) pairs, so the join is hash-equi on a 32-byte key; at
+    // 100 TB the probe side is tiny and broadcast.
+    "text_decontaminate" -> Q(
+      (s, d) => {
+        val sh = D(s, d).where(size(tk) >= 5)
+          .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
+          .withColumn("st", explode(expr("sequence(1, nt - 4)")))
+          .select(col("doc_id"),
+            md5(expr("array_join(slice(tk, st, 5), ' ')")).as("h"))
+          .distinct()
+        val probe = sh.where(col("doc_id") % 97 === 0)
+          .select(col("h"), col("doc_id").as("probe_id"))
+        sh.where(col("doc_id") % 97 =!= 0)
+          .join(probe, "h")
+          .groupBy("doc_id")
+          .agg(countDistinct("h").as("n_shared_shingles"),
+            countDistinct("probe_id").as("n_probe_docs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(list_slice(sp, st, st + 4), ' ')) AS h
+                FROM (SELECT doc_id, sp,
+                             unnest(range(1, len(sp) - 3)) AS st
+                      FROM (SELECT doc_id, string_split(text, ' ') AS sp
+                            FROM documents)
+                      WHERE len(sp) >= 5)),
+              probe AS (SELECT h, doc_id AS probe_id FROM sh
+                        WHERE doc_id % 97 = 0)
+              SELECT sh.doc_id,
+                     count(DISTINCT sh.h) AS n_shared_shingles,
+                     count(DISTINCT probe_id) AS n_probe_docs
+              FROM sh JOIN probe ON sh.h = probe.h
+              WHERE sh.doc_id % 97 <> 0
+              GROUP BY sh.doc_id ORDER BY doc_id""")),
+
     // Plain-text round-trip (4th format family after csv/json/orc): lines
     // are key|text records; the read side parses them back with split_part.
     "scan_text_rt" -> Q(

@@ -356,6 +356,72 @@ object TimeSeries {
               FROM w WHERE is_grid = 1
               ORDER BY user_id, g_ts""")),
 
+    // Hourly-grid forward-fill (LOCF) + backward-fill per user — the other
+    // standard gap-filling policy next to ts_resample's linear interpolation
+    // (feature-store point-in-time fills, sensor LOCF). Same interval
+    // formulation as ts_resample: ONE lead() window, then each [t, nt)
+    // interval emits its grid hours by a narrow explode. ffill carries the
+    // interval-opening observation; bfill takes the next observation (the
+    // opening one when the grid point sits exactly on it; the tail interval
+    // only ever emits its own on-the-hour event, where both fills agree).
+    // Values pass through untouched — no float arithmetic, bit-exact by
+    // construction. One shuffle on user_id at any scale.
+    "ts_backfill" -> Q(
+      (s, d) => {
+        val H = 3600000000L // 1 hour in µs
+        val dedup = Window.partitionBy("user_id", "t")
+          .orderBy(col("eid").desc)
+        val ord = Window.partitionBy("user_id")
+          .orderBy(col("t"), col("eid"))
+        E(s, d).select(col("user_id"), usec(col("ts")).as("t"),
+            col("value").as("v"), col("event_id").as("eid"))
+          .withColumn("rd", row_number().over(dedup))
+          .where(col("rd") === 1)
+          .select(col("user_id"), col("t"), col("v"),
+            lead(col("t"), 1).over(ord).as("nt"),
+            lead(col("v"), 1).over(ord).as("nv"))
+          .withColumn("lo", expr(s"(t + ${H - 1}) div $H"))
+          .withColumn("hi", expr(
+            s"""CASE WHEN nt IS NULL THEN t div $H
+                     WHEN nt % $H = 0 THEN nt div $H - 1
+                     ELSE nt div $H END"""))
+          .withColumn("g", explode(when(col("lo") <= col("hi"),
+            expr("sequence(lo, hi)"))
+            .otherwise(expr("CAST(array() AS ARRAY<BIGINT>)"))))
+          .select(col("user_id"),
+            expr(s"timestamp_micros(g * $H)").cast("timestamp_ntz").as("g_ts"),
+            col("v").as("v_ffill"),
+            when(col("nv").isNull, col("v"))
+              .when(col("t") === col("g") * H, col("v"))
+              .otherwise(col("nv")).as("v_bfill"))
+          .orderBy("user_id", "g_ts")
+      },
+      Some("""WITH dd AS (
+                SELECT user_id, epoch_us(ts) AS t, value AS v, event_id AS eid,
+                       row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                          ORDER BY event_id DESC) AS rd
+                FROM events),
+              iv AS (
+                SELECT user_id, t, v,
+                       lead(t) OVER w AS nt, lead(v) OVER w AS nv
+                FROM dd WHERE rd = 1
+                WINDOW w AS (PARTITION BY user_id ORDER BY t, eid)),
+              g AS (
+                SELECT user_id, t, v, nt, nv,
+                       unnest(range((t + 3599999999) // 3600000000,
+                                    CASE WHEN nt IS NULL THEN t // 3600000000
+                                         WHEN nt % 3600000000 = 0
+                                           THEN nt // 3600000000 - 1
+                                         ELSE nt // 3600000000 END + 1)) AS gh
+                FROM iv)
+              SELECT user_id, make_timestamp(gh * 3600000000) AS g_ts,
+                     v AS v_ffill,
+                     CASE WHEN nv IS NULL THEN v
+                          WHEN t = gh * 3600000000 THEN v
+                          ELSE nv END AS v_bfill
+              FROM g
+              ORDER BY user_id, g_ts""")),
+
     // Rolling 7-event statistics per event_type: exact median (odd frame →
     // an exact element, no interpolation ambiguity), min/max, and an exact
     // decimal rolling sum. Frames shorter than 7 rows are filtered so
