@@ -100,6 +100,20 @@ object Scratch {
 object Par {
   private val D = "decimal(38,6)"
 
+  /** Lineage truncation at iterative-loop boundaries (connected components,
+    * PageRank, candidate-pair reuse). `localCheckpoint` is the right
+    * single-node call (no DFS round-trip, honest bench); on a CLUSTER an
+    * executor loss would force an O(iterations) recompute of non-replicated
+    * local blocks, so when a reliable checkpoint dir is configured
+    * (`sparkContext.setCheckpointDir`, the cluster deploy path) this
+    * upgrades to the fault-tolerant `checkpoint` automatically. */
+  implicit class IterCheckpoint(private val df: DataFrame) extends AnyVal {
+    def iterCheckpoint(): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+  }
+
   /** Exact decimal sum, emitted as double. */
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.VectorOps._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,70 @@ object ML {
                      CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,10)))
                        AS DOUBLE) / count(*) AS mean_d1
               FROM assigned WHERE rn = 1
-              GROUP BY cid ORDER BY cid"""))
+              GROUP BY cid ORDER BY cid""")),
+
+    // Multi-iteration Lloyd to a declared depth (3 unrolled assign+recompute
+    // rounds, K=5, dims 1–4 as exact doubles) — the convergence loop the
+    // single-step twin above omits. The SCALE shape: centroids are packed
+    // into ONE broadcast row (collect_list of K structs), so assignment is a
+    // pure narrow projection (array_sort argmin with cid tiebreak — no
+    // shuffle, no per-point window); only the recompute groupBy(cid)
+    // shuffles, carrying K×dim partial sums. Per-iteration cluster cost:
+    // one corpus scan + one tiny shuffle — the textbook distributed Lloyd.
+    // Means are exact DECIMAL(38,10) sums / count (order-independent), so
+    // iteration-2/3 distances are bit-identical on both engines.
+    "kmeans_iter" -> Q(
+      (s, d) => {
+        val pts = V(s, d).select(col("vec_id"),
+          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+            .as("e"))
+        val c0 = pts.where(col("vec_id") < 5)
+          .select(col("vec_id").as("cid"), col("e").as("ce"))
+        def assign(cents: DataFrame): DataFrame =
+          pts.crossJoin(broadcast(
+              cents.agg(collect_list(struct(col("cid"), col("ce")))
+                .as("cents"))))
+            .withColumn("cid", expr(
+              """array_sort(transform(cents, c -> struct(
+                   aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
+                             0D, (s, p) -> s + p) AS d2,
+                   c.cid AS cid)))[0].cid"""))
+            .select("vec_id", "e", "cid")
+        def mean(i: Int): Column =
+          (sum(element_at(col("e"), i).cast("decimal(38,10)")).cast("double")
+            / count(lit(1)))
+        def recompute(a: DataFrame): DataFrame =
+          a.groupBy("cid").agg(array((1 to 4).map(mean): _*).as("ce"))
+        val a3 = assign(recompute(assign(recompute(assign(c0)))))
+        a3.groupBy("cid")
+          .agg(count(lit(1)).as("n"),
+            (1 to 4).map(i => mean(i).as(s"m$i")): _*)
+          .orderBy("cid")
+      },
+      Some {
+        def oAssign(pts: String, cents: String): String =
+          s"""SELECT vec_id, e, cid FROM (
+                SELECT p.vec_id, p.e, c.cid,
+                       row_number() OVER (PARTITION BY p.vec_id
+                         ORDER BY ${oDist2("p.e", "c.ce")} ASC, c.cid ASC) AS rn
+                FROM $pts p, $cents c) WHERE rn = 1"""
+        def oMean(i: Int): String =
+          s"CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS DOUBLE) / count(*)"
+        def oRecompute(a: String): String =
+          s"""SELECT cid, [${(1 to 4).map(oMean).mkString(", ")}] AS ce
+              FROM $a GROUP BY cid"""
+        s"""WITH pts AS (SELECT vec_id,
+                list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cid, e AS ce FROM pts WHERE vec_id < 5),
+            a1 AS (${oAssign("pts", "c0")}),
+            c1 AS (${oRecompute("a1")}),
+            a2 AS (${oAssign("pts", "c1")}),
+            c2 AS (${oRecompute("a2")}),
+            a3 AS (${oAssign("pts", "c2")})
+            SELECT cid, count(*) AS n,
+                   ${(1 to 4).map(i => s"${oMean(i)} AS m$i").mkString(", ")}
+            FROM a3 GROUP BY cid ORDER BY cid"""
+      })
   )
 }

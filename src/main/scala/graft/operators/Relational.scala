@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.Par._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, projection/filter, joins, aggregation, sort/set
@@ -430,13 +431,44 @@ object Relational {
       None),
 
     // Exact percentiles (median & quartiles) — deterministic interpolation,
-    // identical on both engines for the same sorted input.
+    // identical on both engines for the same sorted input. NOT Spark's
+    // `percentile` aggregate: that is a buffering TypedImperativeAggregate
+    // (3 groups ⇒ 3 reducers each holding the whole fact table's values —
+    // OOMs at scale). Instead the rank-based formulation: row_number +
+    // per-group count in ONE sort-based (spillable) WindowExec pass, then
+    // pick the two bracketing elements at pos = p·(n-1) and interpolate
+    // v_lo + (v_hi - v_lo)·frac — the exact arithmetic `percentile` and
+    // DuckDB quantile_cont both define, so values are bit-identical.
     "agg_percentile" -> Q(
-      (s, d) => L(s, d).groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val wR = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+        val wN = Window.partitionBy("l_returnflag")
+        def pick(p: Double, v: String): (Column, Column, Column) = {
+          val pos = lit(p) * (col("n") - 1).cast("double")
+          val lo = floor(pos).cast("bigint") + 1
+          val hi = ceil(pos).cast("bigint") + 1
+          (max(when(col("rn") === lo, col(v))),
+            max(when(col("rn") === hi, col(v))),
+            max(pos - floor(pos)))
+        }
+        val ranked = L(s, d).select(col("l_returnflag"), col("l_quantity"))
+          .select(col("l_returnflag"), col("l_quantity"),
+            row_number().over(wR).cast("bigint").as("rn"),
+            count(lit(1)).over(wN).as("n"))
+        val (lo50, hi50, f50) = pick(0.5, "l_quantity")
+        val (lo25, hi25, f25) = pick(0.25, "l_quantity")
+        ranked.groupBy("l_returnflag")
+          .agg(lo50.as("lo50"), hi50.as("hi50"), f50.as("f50"),
+            lo25.as("lo25"), hi25.as("hi25"), f25.as("f25"),
+            count(lit(1)).as("cnt"))
+          .select(col("l_returnflag"),
+            (col("lo50") + (col("hi50") - col("lo50")) * col("f50"))
+              .as("median_qty"),
+            (col("lo25") + (col("hi25") - col("lo25")) * col("f25"))
+              .as("q1_qty"),
+            col("cnt"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
                      quantile_cont(l_quantity, 0.5) AS median_qty,
                      quantile_cont(l_quantity, 0.25) AS q1_qty,
@@ -450,16 +482,26 @@ object Relational {
     // convention, so the oracle replays Spark's definition explicitly via
     // row_number/count — same element, provably, for any tie pattern
     // (equal values are adjacent under ORDER BY value).
+    // Like agg_percentile above, rank-based rather than Spark's buffering
+    // percentile_disc aggregate (which holds every group value in one
+    // reducer): one spillable WindowExec sort, pick rn == ceil(p·n). Same
+    // element for any tie pattern (ties are adjacent under ORDER BY value).
     "agg_percentile_disc" -> Q(
-      (s, d) => L(s, d).groupBy("l_returnflag")
-        .agg(
-          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p25"),
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p50"),
-          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p75"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val wR = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        val wN = Window.partitionBy("l_returnflag")
+        def at(p: Double): Column =
+          max(when(col("rn") ===
+            ceil(lit(p) * col("n").cast("double")).cast("bigint"),
+            col("l_extendedprice")))
+        L(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            row_number().over(wR).cast("bigint").as("rn"),
+            count(lit(1)).over(wN).as("n"))
+          .groupBy("l_returnflag")
+          .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
+          .orderBy("l_returnflag")
+      },
       Some("""WITH r AS (
                 SELECT l_returnflag, l_extendedprice,
                        row_number() OVER (PARTITION BY l_returnflag

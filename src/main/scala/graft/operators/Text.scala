@@ -29,7 +29,8 @@ object Text {
   /** Token-set Jaccard pairs over (lang, source, length-band)-blocked
     * candidates — shared by dedup_near and dedup_cluster. */
   private def jacPairs(s: SparkSession, d: String, thr: Double): DataFrame = {
-    // localCheckpoint: `t` feeds both sides of the candidate join — one
+    // iterCheckpoint (localCheckpoint here; reliable on a cluster — Par doc):
+    // `t` feeds both sides of the candidate join — one
     // materialization instead of two tokenize→explode passes (builder-
     // scoped: every run still computes it once, honestly).
     val t = D(s, d).select(
@@ -37,7 +38,7 @@ object Text {
       expr("n_chars div 50").as("band"),
       size(utoks).as("nt"),
       explode(utoks).as("token"))
-      .localCheckpoint()
+      .iterCheckpoint()
     val a = t.select(col("lang"), col("source"), col("band"), col("token"),
       col("doc_id").as("ia"), col("nt").as("na"))
     val b = t.select(col("lang").as("lang_b"), col("source").as("source_b"),
@@ -105,15 +106,15 @@ object Text {
     // that turns pairwise matches into dedup groups (keep min doc_id per
     // component). Iterative min-label propagation: one join + min-agg per
     // round, O(component diameter) rounds — the scalable large-graph CC
-    // (GraphX-style), no driver-side union-find. localCheckpoint truncates
+    // (GraphX-style), no driver-side union-find. iterCheckpoint truncates
     // the per-iteration lineage; it is builder-scoped, so every run
     // recomputes honestly. Oracle: recursive-CTE transitive closure.
     "dedup_cluster" -> Q(
       (s, d) => {
-        val pr = jacPairs(s, d, 0.9).select("ia", "ib").localCheckpoint()
+        val pr = jacPairs(s, d, 0.9).select("ia", "ib").iterCheckpoint()
         val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
         var labels = edges.select(col("a").as("node")).distinct()
-          .withColumn("label", col("node")).localCheckpoint()
+          .withColumn("label", col("node")).iterCheckpoint()
         var iter = 0
         var done = false
         while (!done && iter < 20) {
@@ -127,7 +128,7 @@ object Text {
               least(col("label"), coalesce(col("nl"), col("label")))
                 .as("label"),
               (coalesce(col("nl"), col("label")) < col("label")).as("ch"))
-            .localCheckpoint()
+            .iterCheckpoint()
           done = next.where(col("ch")).isEmpty
           labels = next.select("node", "label")
           iter += 1
@@ -395,14 +396,14 @@ object Text {
           _.isNotNull))
         val sh = D(s, d).select(col("doc_id"), col("lang"), toks.as("t"))
           .select(col("doc_id"), col("lang"), explode(shingles).as("sh"))
-        // localCheckpoint: `kept` feeds the sizes agg AND both sides of the
+        // iterCheckpoint: `kept` feeds the sizes agg AND both sides of the
         // pair join — materializing it once replaces ~5 recomputations of
         // the tokenize→explode→df-prune pipeline (builder-scoped, so every
         // bench pass still pays the full honest cost exactly once).
         val kept = sh.join(
           sh.groupBy("sh").agg(countDistinct("doc_id").as("df"))
             .where(col("df") <= 20), "sh")
-          .localCheckpoint()
+          .iterCheckpoint()
         // per-doc signature sizes: a dimension-sized table → broadcast
         val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
         // pair generation INSIDE each (lang, shingle) group (sorted doc
@@ -552,7 +553,7 @@ object Text {
           .select(col("doc_id"), col("hs"),
             mh(131L, 17L).as("mh0"), mh(137L, 19L).as("mh1"),
             mh(139L, 23L).as("mh2"), mh(149L, 29L).as("mh3"))
-          .localCheckpoint()
+          .iterCheckpoint()
         def side(p: String) = sig.select(col("doc_id").as(s"i$p"),
           col("mh0").as(s"${p}0"), col("mh1").as(s"${p}1"),
           col("mh2").as(s"${p}2"), col("mh3").as(s"${p}3"))
@@ -619,7 +620,7 @@ object Text {
     // keep the graph near-linear in corpus size).
     "graph_triangles" -> Q(
       (s, d) => {
-        val e = jacPairs(s, d, 0.8).select("ia", "ib").localCheckpoint()
+        val e = jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint()
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.ib") === col("e2.ia"))
           .join(e.as("e3"),
@@ -663,12 +664,12 @@ object Text {
     // unrolled as CTEs.
     "graph_pagerank" -> Q(
       (s, d) => {
-        val pr = jacPairs(s, d, 0.8).select("ia", "ib").localCheckpoint()
+        val pr = jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint()
         val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
         val deg = edges.groupBy("a").agg(count(lit(1)).as("degree"))
         // (a, b, degree-of-a): contribution denominators travel with the
         // edge so the loop below is join(ranks)+agg only.
-        val ed = edges.join(deg, "a").localCheckpoint()
+        val ed = edges.join(deg, "a").iterCheckpoint()
         val nn = deg.agg(count(lit(1)).as("nv"))
         var r = deg.crossJoin(nn).select(col("a").as("node"),
           (lit(1.0) / col("nv").cast("double")).as("r"))
@@ -680,7 +681,7 @@ object Text {
             .select(col("b").as("node"),
               (lit(0.15) / col("nv").cast("double") +
                 lit(0.85) * col("m")).as("r"))
-            .localCheckpoint()
+            .iterCheckpoint()
         }
         r.select(col("node").as("doc_id"), col("r").as("pagerank"))
           .orderBy("doc_id")

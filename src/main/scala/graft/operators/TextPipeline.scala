@@ -28,20 +28,43 @@ object TextPipeline {
   private val ChunkSize = 40
   private val ChunkStride = 30
 
+  /** The chunking transform, sans presentation sort — stateless and
+    * streaming-safe; shared by the batch query and the Structured
+    * Streaming twin (graft.streaming.Streams.chunkStream). */
+  def chunk(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
+      .withColumn("st",
+        explode(expr(s"sequence(0, nt - 1, $ChunkStride)")))
+      .select(col("doc_id"),
+        expr(s"CAST(st div $ChunkStride AS BIGINT)").as("chunk_idx"),
+        expr(s"array_join(slice(tk, st + 1, $ChunkSize), ' ')").as("chunk_text"),
+        expr(s"CAST(size(slice(tk, st + 1, $ChunkSize)) AS BIGINT)").as("chunk_tokens"))
+
+  /** The PII-redaction transform, sans presentation sort — stateless and
+    * streaming-safe; shared with Streams.piiStream. */
+  def piiRedact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id"),
+          lit("@mail.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+          .as("line"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("line"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
+          "555-[0-9]{4}", "[PHONE]").as("redacted"),
+        size(expr("regexp_extract_all(line, '[a-z0-9]+@[a-z]+\\\\.[a-z]+', 0)"))
+          .cast("bigint").as("n_emails"),
+        size(expr("regexp_extract_all(line, '555-[0-9]{4}', 0)"))
+          .cast("bigint").as("n_phones"))
+
   val defs: Map[String, Q] = Map(
 
     // Sliding token-window chunking with overlap. explode(sequence) keeps
     // it narrow: chunk rows are generated where the document row lives.
     "text_chunk" -> Q(
-      (s, d) => D(s, d)
-        .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
-        .withColumn("st",
-          explode(expr(s"sequence(0, nt - 1, $ChunkStride)")))
-        .select(col("doc_id"),
-          expr(s"CAST(st div $ChunkStride AS BIGINT)").as("chunk_idx"),
-          expr(s"array_join(slice(tk, st + 1, $ChunkSize), ' ')").as("chunk_text"),
-          expr(s"CAST(size(slice(tk, st + 1, $ChunkSize)) AS BIGINT)").as("chunk_tokens"))
-        .orderBy("doc_id", "chunk_idx"),
+      (s, d) => chunk(D(s, d)).orderBy("doc_id", "chunk_idx"),
       Some(s"""WITH t AS (
                  SELECT doc_id, string_split(text, ' ') AS sp,
                         len(string_split(text, ' ')) AS nt
@@ -129,21 +152,7 @@ object TextPipeline {
     // the regexes then find and scrub it — nonzero counts prove the scrub
     // ran. RE2/Java-common patterns; DuckDB needs the explicit 'g' flag.
     "text_pii" -> Q(
-      (s, d) => D(s, d)
-        .select(col("doc_id"),
-          concat(col("text"), lit(" contact u"), col("doc_id"),
-            lit("@mail.com or 555-"),
-            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-            .as("line"))
-        .select(col("doc_id"),
-          regexp_replace(
-            regexp_replace(col("line"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
-            "555-[0-9]{4}", "[PHONE]").as("redacted"),
-          size(expr("regexp_extract_all(line, '[a-z0-9]+@[a-z]+\\\\.[a-z]+', 0)"))
-            .cast("bigint").as("n_emails"),
-          size(expr("regexp_extract_all(line, '555-[0-9]{4}', 0)"))
-            .cast("bigint").as("n_phones"))
-        .orderBy("doc_id"),
+      (s, d) => piiRedact(D(s, d)).orderBy("doc_id"),
       Some("""WITH t AS (
                 SELECT doc_id,
                        text || ' contact u' || doc_id || '@mail.com or 555-' ||

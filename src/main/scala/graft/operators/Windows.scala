@@ -134,15 +134,43 @@ object Windows {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               ORDER BY o_custkey, o_orderkey""")),
 
-    // ntile / percent_rank / cume_dist over account balance.
+    // ntile / percent_rank / cume_dist over account balance — computed as a
+    // DISTRIBUTED two-pass global rank, not `Window.orderBy` (which moves
+    // every row to ONE partition: fine on a dim table, a scale-killer once
+    // the table grows). Pass 1: deterministic range buckets on the sort key
+    // (floor(acctbal/100) is monotone in acctbal, so bucket order == key
+    // order; at cluster scale pick the step from column stats) + per-bucket
+    // local row_number — one hash shuffle, each bucket sorts independently.
+    // Pass 2: per-bucket counts (≤ ~110 rows) cumulated into rank offsets
+    // and broadcast back; global rn = offset + local rn. ntile/percent_rank/
+    // cume_dist are then pure arithmetic on (rn, n) — bit-identical to the
+    // engines' window definitions because the sort key is unique.
     "win_ntile_pct" -> Q(
       (s, d) => {
-        val w = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
-        C(s, d)
-          .select(col("c_custkey"), col("c_acctbal"),
-            ntile(5).over(w).cast("bigint").as("quintile"),
-            percent_rank().over(w).as("pct_rank"),
-            cume_dist().over(w).as("cume"))
+        val c = C(s, d).select(col("c_custkey"), col("c_acctbal"),
+          floor(col("c_acctbal") / 100.0).cast("bigint").as("bkt"))
+        val wLoc = Window.partitionBy("bkt")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        val counts = c.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        // Tiny table (one row per bucket): single-partition window is fine.
+        val wOff = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts.select(col("bkt"),
+          coalesce(sum("cnt").over(wOff), lit(0L)).as("off"))
+        val total = counts.agg(sum("cnt").as("n"))
+        c.withColumn("lrn", row_number().over(wLoc).cast("bigint"))
+          .join(broadcast(offs), "bkt")
+          .crossJoin(broadcast(total))
+          .withColumn("rn", col("off") + col("lrn"))
+          .selectExpr("c_custkey", "c_acctbal",
+            // ntile(5): the first n%5 tiles hold n div 5 + 1 rows, the rest
+            // n div 5 — the exact SQL-standard split both engines implement.
+            """CASE WHEN rn <= (n div 5 + 1) * (n % 5)
+                    THEN (rn - 1) div (n div 5 + 1) + 1
+                    ELSE (n % 5) + (rn - 1 - (n div 5 + 1) * (n % 5)) div (n div 5) + 1
+               END AS quintile""",
+            "CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank",
+            "CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume")
           .orderBy("c_custkey")
       },
       Some("""SELECT c_custkey, c_acctbal,

@@ -89,6 +89,26 @@ object Streams {
       }
   }
 
+  /** File-source stream over a documents-shaped directory — the streaming
+    * ingest for the text-pipeline twins below. */
+  def documentsSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT")
+      .parquet(dir)
+
+  /** Streaming twin of the batch text_chunk: the IDENTICAL stateless
+    * expression tree (graft.operators.TextPipeline.chunk) applied
+    * incrementally — append mode, no watermark or state needed, each
+    * micro-batch chunks only its own new documents. */
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.operators.TextPipeline.chunk(docs)
+
+  /** Streaming twin of the batch text_pii redaction — same shared
+    * expression tree, stateless append. */
+  def piiStream(docs: DataFrame): DataFrame =
+    graft.operators.TextPipeline.piiRedact(docs)
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {

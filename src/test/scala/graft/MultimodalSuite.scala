@@ -37,4 +37,33 @@ class MultimodalSuite extends SparkSpec {
     val again = Multimodal.extract(blocks).collect().map(f => f.id -> f).toMap
     assert(again(1L).checksum == feats(1L).checksum)
   }
+
+  test("NIfTI-1 round-trip: spec-conformant header, scaling, exact stats") {
+    import Multimodal.{NiftiBlob, encodeNifti, decodeNiftiPartition}
+    val vox = Array(1.0f, 2.0f, 3.0f, 4.0f, 5.0f, 6.0f)
+    val blob = encodeNifti(vox, (3, 2, 1), 2.0f, 0.5f)
+    // spec geometry: 348-byte header + 4-byte extender + 4 B/voxel
+    assert(blob.length == 352 + 4 * 6)
+    val buf = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(buf.getInt(0) == 348)            // sizeof_hdr
+    assert(buf.getShort(40) == 3)           // dim[0]
+    assert(buf.getShort(70) == 16)          // NIFTI_TYPE_FLOAT32
+    assert(buf.getShort(72) == 32)          // bitpix
+    assert(new String(blob.slice(344, 347), "US-ASCII") == "n+1")
+    val st = decodeNiftiPartition(Iterator(NiftiBlob(7L, blob))).next()
+    // decode → scale (2v + 0.5) → increment (+1): 1..6 → 3.5..13.5
+    assert(st.id == 7L && (st.nx, st.ny, st.nz) == ((3, 2, 1)))
+    assert(st.n_vox == 6L && st.vmin == 3.5 && st.vmax == 13.5)
+    assert(st.vsum == (1 to 6).map(v => v * 2.0 + 0.5 + 1.0).sum)
+    // scl_slope = 0 means unscaled per spec
+    val flat = decodeNiftiPartition(
+      Iterator(NiftiBlob(8L, encodeNifti(vox, (6, 1, 1), 0.0f, 0.0f)))).next()
+    assert(flat.vmin == 2.0 && flat.vmax == 7.0) // v*1 + 0 + 1
+    // corrupted magic must be rejected, not silently mis-decoded
+    val bad = blob.clone(); bad(344) = 'x'.toByte
+    intercept[IllegalArgumentException] {
+      decodeNiftiPartition(Iterator(NiftiBlob(9L, bad))).next()
+    }
+  }
 }

@@ -197,17 +197,21 @@ class OperatorSuite extends SparkSpec {
     assert(bad == 0L)
   }
 
-  test("mm_decode: stub features match a driver-side recompute") {
+  test("mm_decode: NIfTI-1 round-trip stats match a driver-side recompute") {
     val feats = SparkEntry.queries("mm_decode")(spark, sf).collect()
     assert(feats.length == 500)
-    val docs = Tables.t(spark, sf, "documents")
-      .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     feats.take(10).foreach { r =>
-      val bytes = docs(r.getAs[Long]("id")).getBytes("UTF-8")
-      assert(r.getAs[Long]("n_bytes") == bytes.length.toLong)
-      val sum = bytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
-      assert(r.getAs[Long]("checksum") == sum)
+      val vals = embs(r.getAs[Long]("id"))
+        .map(v => v.toDouble * 2.0 + 0.5 + 1.0) // header scaling + increment
+      assert((r.getAs[Int]("nx"), r.getAs[Int]("ny"), r.getAs[Int]("nz"))
+        == ((4, 4, 4)))
+      assert(r.getAs[Long]("n_vox") == 64L)
+      assert(r.getAs[Double]("vmin") == vals.min)
+      assert(r.getAs[Double]("vmax") == vals.max)
+      assert(r.getAs[Double]("vsum") == vals.foldLeft(0.0)(_ + _))
     }
   }
 

@@ -143,4 +143,43 @@ class PlanSuite extends SparkSpec {
     assert(countShuffles(df) <= 1,
       formatted(df).take(3000))
   }
+
+  test("AQE splits a skewed fact-fact sort-merge join (OptimizeSkewedJoin)") {
+    // The 100× story for fact-fact joins leans on AQE's runtime re-plan:
+    // manual salting (agg_salted) covers aggregation skew, but join skew is
+    // AQE's job. Thresholds are lowered so the sf-sized fixture trips the
+    // same code path a 100 TB skewed key would.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32kb")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16kb")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 95% of the left rows share key 0 → one reducer partition dwarfs the
+      // rest → AQE must mark the SMJ skew=true and split the skewed side.
+      val left = spark.range(0, 120000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("lv"))
+      val right = spark.range(0, 20000)
+        .select((col("id") % 4000).as("k"), col("id").as("rv"))
+      // NB: aggregate on a key OTHER than the join key — a downstream agg on
+      // the join key would let the SMJ output partitioning satisfy it, and
+      // AQE then refuses to split skew (it would add an exchange).
+      val joined = left.join(right, "k")
+        .groupBy(pmod(col("rv"), lit(16)).as("g")).agg(count(lit(1)).as("n"))
+      val plan = formatted(joined)
+      assert(plan.contains("skew=true") || plan.contains("isSkew"),
+        s"OptimizeSkewedJoin did not engage:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }

@@ -49,6 +49,51 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  private def documentsDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  test("streaming text_chunk twin matches the batch chunking exactly") {
+    val dir = documentsDir
+    val q = Streams.chunkStream(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("chunk_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val batch = SparkEntry.queries("text_chunk")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming text_pii twin matches the batch redaction exactly") {
+    val dir = documentsDir
+    val q = Streams.piiStream(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("pii_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("pii_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = SparkEntry.queries("text_pii")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == batch)
+      // every document's injected contact line was found and scrubbed
+      assert(streamed.forall { case (_, red, ne, np) =>
+        ne >= 1 && np >= 1 && !red.contains("@mail.com") })
+    } finally q.stop()
+  }
+
   test("streaming EWMA state op is bit-identical to the batch lag chain") {
     import spark.implicits._
     val dir = eventsDir
