@@ -164,18 +164,24 @@ class PlanSuite extends SparkSpec {
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       // 95% of the left rows share key 0 → one reducer partition dwarfs the
       // rest → AQE must mark the SMJ skew=true and split the skewed side.
+      // The payload column must (a) survive column pruning — it feeds the
+      // final aggregate — and (b) be incompressible (md5 hex), otherwise the
+      // skewed partition is a constant-key run that LZ4 squeezes below the
+      // 32kb threshold and OptimizeSkewedJoin never fires (seen live).
       val left = spark.range(0, 120000)
         .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
-          col("id").as("lv"))
+          md5(concat(col("id").cast("string"), lit("payload"))).as("lv"))
       val right = spark.range(0, 20000)
         .select((col("id") % 4000).as("k"), col("id").as("rv"))
       // NB: aggregate on a key OTHER than the join key — a downstream agg on
       // the join key would let the SMJ output partitioning satisfy it, and
       // AQE then refuses to split skew (it would add an exchange).
       val joined = left.join(right, "k")
-        .groupBy(pmod(col("rv"), lit(16)).as("g")).agg(count(lit(1)).as("n"))
+        .groupBy(pmod(col("rv"), lit(16)).as("g"))
+        .agg(count(lit(1)).as("n"), max(col("lv")).as("m"))
       val plan = formatted(joined)
-      assert(plan.contains("skew=true") || plan.contains("isSkew"),
+      assert(plan.contains("skew=true") || plan.contains("isSkew") ||
+        plan.contains("skewed"),
         s"OptimizeSkewedJoin did not engage:\n${plan.take(3000)}")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
