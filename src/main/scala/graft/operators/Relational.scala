@@ -434,15 +434,34 @@ object Relational {
     // identical on both engines for the same sorted input. NOT Spark's
     // `percentile` aggregate: that is a buffering TypedImperativeAggregate
     // (3 groups ⇒ 3 reducers each holding the whole fact table's values —
-    // OOMs at scale). Instead the rank-based formulation: row_number +
-    // per-group count in ONE sort-based (spillable) WindowExec pass, then
-    // pick the two bracketing elements at pos = p·(n-1) and interpolate
-    // v_lo + (v_hi - v_lo)·frac — the exact arithmetic `percentile` and
-    // DuckDB quantile_cont both define, so values are bit-identical.
+    // OOMs at scale). And NOT a plain Window.partitionBy(group) rank either:
+    // 3 distinct groups ⇒ 3 sort tasks, a 3-way parallelism ceiling however
+    // large the cluster (the round-5 version). Instead the win_ntile_pct
+    // two-pass rank generalized per group: partition by (group, value
+    // bucket) — floor(l_quantity) is monotone in the sort key, so bucket
+    // order == value order — local row_number per bucket (a ~group×bucket-way
+    // parallel sort), then per-bucket counts (one tiny row per bucket)
+    // cumulated into rank offsets and broadcast back: global rank
+    // rn = offset + local rn. Pick the two bracketing elements at
+    // pos = p·(n-1) and interpolate v_lo + (v_hi - v_lo)·frac — the exact
+    // arithmetic `percentile` and DuckDB quantile_cont both define, so
+    // values are bit-identical. At cluster scale the bucket step comes from
+    // column stats; ties are adjacent under ORDER BY value, so the value at
+    // any global rank is tie-order-independent.
     "agg_percentile" -> Q(
       (s, d) => {
-        val wR = Window.partitionBy("l_returnflag").orderBy("l_quantity")
-        val wN = Window.partitionBy("l_returnflag")
+        val base = L(s, d).select(col("l_returnflag"), col("l_quantity"),
+          floor(col("l_quantity")).cast("bigint").as("bkt"))
+        val wLoc = Window.partitionBy("l_returnflag", "bkt")
+          .orderBy("l_quantity")
+        val counts = base.groupBy("l_returnflag", "bkt")
+          .agg(count(lit(1)).as("cnt"))
+        // One row per (group, bucket) — tiny; window over it is trivial.
+        val wOff = Window.partitionBy("l_returnflag").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts.select(col("l_returnflag"), col("bkt"),
+          coalesce(sum("cnt").over(wOff), lit(0L)).as("off"),
+          sum("cnt").over(Window.partitionBy("l_returnflag")).as("n"))
         def pick(p: Double, v: String): (Column, Column, Column) = {
           val pos = lit(p) * (col("n") - 1).cast("double")
           val lo = floor(pos).cast("bigint") + 1
@@ -451,10 +470,10 @@ object Relational {
             max(when(col("rn") === hi, col(v))),
             max(pos - floor(pos)))
         }
-        val ranked = L(s, d).select(col("l_returnflag"), col("l_quantity"))
-          .select(col("l_returnflag"), col("l_quantity"),
-            row_number().over(wR).cast("bigint").as("rn"),
-            count(lit(1)).over(wN).as("n"))
+        val ranked = base
+          .withColumn("lrn", row_number().over(wLoc).cast("bigint"))
+          .join(broadcast(offs), Seq("l_returnflag", "bkt"))
+          .withColumn("rn", col("off") + col("lrn"))
         val (lo50, hi50, f50) = pick(0.5, "l_quantity")
         val (lo25, hi25, f25) = pick(0.25, "l_quantity")
         ranked.groupBy("l_returnflag")
@@ -484,20 +503,32 @@ object Relational {
     // (equal values are adjacent under ORDER BY value).
     // Like agg_percentile above, rank-based rather than Spark's buffering
     // percentile_disc aggregate (which holds every group value in one
-    // reducer): one spillable WindowExec sort, pick rn == ceil(p·n). Same
-    // element for any tie pattern (ties are adjacent under ORDER BY value).
+    // reducer), and bucketed the same way so the sort parallelism is
+    // (group × price-bucket)-way, not 3-way: global rank = broadcast
+    // per-bucket offset + bucket-local row_number, pick rn == ceil(p·n).
+    // Same element for any tie pattern (ties are adjacent under ORDER BY
+    // value).
     "agg_percentile_disc" -> Q(
       (s, d) => {
-        val wR = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-        val wN = Window.partitionBy("l_returnflag")
+        val base = L(s, d).select(col("l_returnflag"), col("l_extendedprice"),
+          floor(col("l_extendedprice") / 1000.0).cast("bigint").as("bkt"))
+        val wLoc = Window.partitionBy("l_returnflag", "bkt")
+          .orderBy("l_extendedprice")
+        val counts = base.groupBy("l_returnflag", "bkt")
+          .agg(count(lit(1)).as("cnt"))
+        val wOff = Window.partitionBy("l_returnflag").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts.select(col("l_returnflag"), col("bkt"),
+          coalesce(sum("cnt").over(wOff), lit(0L)).as("off"),
+          sum("cnt").over(Window.partitionBy("l_returnflag")).as("n"))
         def at(p: Double): Column =
           max(when(col("rn") ===
             ceil(lit(p) * col("n").cast("double")).cast("bigint"),
             col("l_extendedprice")))
-        L(s, d).select(col("l_returnflag"), col("l_extendedprice"))
-          .select(col("l_returnflag"), col("l_extendedprice"),
-            row_number().over(wR).cast("bigint").as("rn"),
-            count(lit(1)).over(wN).as("n"))
+        base
+          .withColumn("lrn", row_number().over(wLoc).cast("bigint"))
+          .join(broadcast(offs), Seq("l_returnflag", "bkt"))
+          .withColumn("rn", col("off") + col("lrn"))
           .groupBy("l_returnflag")
           .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
           .orderBy("l_returnflag")

@@ -169,7 +169,11 @@ object Windows {
                     THEN (rn - 1) div (n div 5 + 1) + 1
                     ELSE (n % 5) + (rn - 1 - (n div 5 + 1) * (n % 5)) div (n div 5) + 1
                END AS quintile""",
-            "CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank",
+            // percent_rank() is defined as 0.0 for a single-row partition;
+            // (rn-1)/(n-1) would be 0/0 = NaN there, so guard n = 1.
+            """CASE WHEN n = 1 THEN 0.0
+                    ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+               END AS pct_rank""",
             "CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cume")
           .orderBy("c_custkey")
       },

@@ -144,6 +144,24 @@ class PlanSuite extends SparkSpec {
       formatted(df).take(3000))
   }
 
+  test("exact percentiles stay rank-based and bucketed (no buffering aggregate)") {
+    // Tripwire for the round-5/6 rewrite: Spark's `percentile` /
+    // `percentile_disc` aggregates buffer every group value in one reducer
+    // (ObjectHashAggregate over a TypedImperativeAggregate) — the 100 TB
+    // OOM. And the rank must come from a (group, value-bucket) window, not
+    // a per-group-only window whose parallelism is the group count (3).
+    for (k <- Seq("agg_percentile", "agg_percentile_disc")) {
+      val plan = formatted(SparkEntry.queries(k)(spark, sf))
+      assert(!plan.contains("ObjectHashAggregate"),
+        s"$k buffers values in a TypedImperativeAggregate:\n${plan.take(2000)}")
+      assert(!plan.contains("percentile"),
+        s"$k uses the buffering percentile aggregate:\n${plan.take(2000)}")
+      assert(plan.contains("Window"), s"$k lost the rank window:\n${plan.take(2000)}")
+      assert(plan.contains("bkt#"),
+        s"$k's rank window is not value-bucketed:\n${plan.take(2000)}")
+    }
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join (OptimizeSkewedJoin)") {
     // The 100× story for fact-fact joins leans on AQE's runtime re-plan:
     // manual salting (agg_salted) covers aggregation skew, but join skew is
