@@ -123,6 +123,42 @@ object ML {
             SELECT cid, count(*) AS n,
                    ${(1 to 4).map(i => s"${oMean(i)} AS m$i").mkString(", ")}
             FROM a3 GROUP BY cid ORDER BY cid"""
-      })
+      }),
+
+    // The MLlib MinHashLSH near-dup path AS a declared query, so the
+    // extreme-scale twin of dedup_lsh runs under Bench's wall-time watch
+    // (previously capability-tested only, in MLSuite). Seeded ⇒ the
+    // candidate set is deterministic, but the hash family isn't
+    // SQL-expressible → rows-only check (the oracled dedup surface is the
+    // hand-rolled dedup_lsh/dedup_near family). approxSimilarityJoin lowers
+    // to explode(hash tables) → equi-join on (table, band hash) → distinct
+    // candidates → exact-distance filter: the banded-LSH shape that bounds
+    // pair generation at 100 TB.
+    "dedup_mllsh" -> Q(
+      (s, d) => {
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+        // 3-token shingles, not unigrams: the synthetic corpus shares its
+        // vocabulary heavily, so unigram token SETS overlap ≥80% across most
+        // doc pairs (measured: a 0.2-distance unigram join passed 30k of the
+        // 125k possible pairs at sf0.01) — shingle sets only overlap on real
+        // near-duplicates, which is what makes banded LSH prune at 100 TB.
+        val docs = Tables.t(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+          .where(size(col("tokens")) >= 3)
+          .select(col("doc_id"), expr(
+            """transform(sequence(1, size(tokens) - 2),
+                 i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"""
+          ).as("shingles"))
+        val featured = new HashingTF().setInputCol("shingles")
+          .setOutputCol("tf").setNumFeatures(1 << 16).transform(docs)
+        val model = new MinHashLSH().setNumHashTables(4).setSeed(42L)
+          .setInputCol("tf").setOutputCol("mh").fit(featured)
+        model.approxSimilarityJoin(featured, featured, 0.3, "dist")
+          .select(col("datasetA.doc_id").as("ia"),
+            col("datasetB.doc_id").as("ib"))
+          .where(col("ia") < col("ib"))
+          .orderBy("ia", "ib")
+      },
+      None)
   )
 }

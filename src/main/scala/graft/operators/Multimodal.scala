@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Q, Scratch, Tables}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -78,6 +78,12 @@ object Multimodal {
   private val VoxOffset = 352 // header + 4-byte empty extender
   private val DtFloat32 = 16  // NIFTI_TYPE_FLOAT32
 
+  /** Write-once .nii scratch dirs, keyed by (applicationId, sfDir) — the
+    * join_bucketed pattern: the one-time encode+write is corpus prep, the
+    * declared query measures the read→decode→reduce path. */
+  private val niftiReady =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
   /** Serialize a float32 volume as a spec-conformant single-file NIfTI-1
     * blob (4×4×4 grid here; any dims whose product is vox.length work). */
   def encodeNifti(vox: Array[Float], dims: (Int, Int, Int),
@@ -127,7 +133,18 @@ object Multimodal {
       val slope = if (rawSlope == 0f) 1.0 else rawSlope.toDouble
       val inter = buf.getFloat(116).toDouble
       val off = buf.getFloat(108).toInt
-      val n = dims.product
+      // Payload-bounds validation: dims are attacker-/corruption-controlled
+      // on external files, so compute the voxel count in Long (Int products
+      // overflow to wrong/negative counts) and require the declared payload
+      // to fit inside the blob — a truncated file fails with a diagnostic,
+      // not an IndexOutOfBoundsException.
+      val nL = dims.map(_.toLong).product
+      require(dims.forall(_ >= 1) && nL <= Int.MaxValue,
+        s"block ${b.id}: bad dims $dims")
+      require(off >= HdrLen && off + 4L * nL <= b.blob.length,
+        s"block ${b.id}: payload [$off, ${off + 4L * nL}) outside " +
+          s"${b.blob.length}-byte blob")
+      val n = nL.toInt
       var i = 0
       var sum = 0.0
       var mn = Double.PositiveInfinity
@@ -188,6 +205,59 @@ object Multimodal {
           .map { case (id, emb) =>
             NiftiBlob(id, encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f)) }
           .mapPartitions(decodeNiftiPartition)
+          .toDF()
+          .orderBy("id")
+      },
+      Some("""SELECT vec_id AS id,
+                     CAST(4 AS INT) AS nx, CAST(4 AS INT) AS ny,
+                     CAST(4 AS INT) AS nz, CAST(64 AS BIGINT) AS n_vox,
+                     list_min(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)) AS vmin,
+                     list_max(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)) AS vmax,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)),
+                       (s, p) -> s + p) AS vsum
+              FROM embeddings ORDER BY id""")),
+
+    // The END-TO-END multimodal read path: the same decode as mm_decode but
+    // with the blobs read back from STORAGE — write each embedding row once
+    // per (application, sfDir) as a real single-file .nii on disk (executor-
+    // side foreachPartition, no driver loop; on a cluster this is shared
+    // storage), then scan via the binaryFile source and decode `content`.
+    // This is the actual read→decode→map→reduce shape every multimodal
+    // corpus job runs: scan parallelizes per file, decode is a narrow typed
+    // mapPartitions, `spark.sql.files.maxPartitionBytes` sizes the batches.
+    // Same oracle as mm_decode — a flipped bit anywhere in the file
+    // round-trip (encode → FS → binaryFile → parse) fails the hash.
+    "mm_pipeline" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val dir = niftiReady.computeIfAbsent(
+          (s.sparkContext.applicationId, d), { _ =>
+            val out = Scratch.dir(s, "nii")
+            new java.io.File(out).mkdirs()
+            Tables.t(s, d, "embeddings")
+              .select(col("vec_id"), col("embedding"))
+              .as[(Long, Array[Float])]
+              .foreachPartition { it: Iterator[(Long, Array[Float])] =>
+                it.foreach { case (id, emb) =>
+                  java.nio.file.Files.write(
+                    java.nio.file.Paths.get(s"$out/block_$id.nii"),
+                    encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f))
+                }
+              }
+            out
+          })
+        readBlobs(s, dir + "/*.nii")
+          .select(
+            regexp_extract(col("path"), "block_(\\d+)\\.nii$", 1)
+              .cast("bigint").as("id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(it => decodeNiftiPartition(
+            it.map { case (id, blob) => NiftiBlob(id, blob) }))
           .toDF()
           .orderBy("id")
       },

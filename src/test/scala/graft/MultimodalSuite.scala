@@ -66,4 +66,33 @@ class MultimodalSuite extends SparkSpec {
       decodeNiftiPartition(Iterator(NiftiBlob(9L, bad))).next()
     }
   }
+
+  test("NIfTI decoder rejects malformed payload bounds with a diagnostic") {
+    import Multimodal.{NiftiBlob, encodeNifti, decodeNiftiPartition}
+    val blob = encodeNifti(Array(1.0f, 2.0f, 3.0f, 4.0f), (4, 1, 1), 1f, 0f)
+    // truncated payload: header declares 4 voxels, file holds 2
+    val truncated = blob.take(352 + 8)
+    val e1 = intercept[IllegalArgumentException] {
+      decodeNiftiPartition(Iterator(NiftiBlob(1L, truncated))).next()
+    }
+    assert(e1.getMessage.contains("outside"))
+    // adversarial dims whose Int product overflows to a small/negative
+    // count: 65535^3 ≈ 2.8e14 — must be caught by the Long-range check,
+    // not read garbage. (Shorts are signed: -1 reads back as dim -1.)
+    val evil = blob.clone()
+    val buf = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putShort(42, -1); buf.putShort(44, -1); buf.putShort(46, -1)
+    val e2 = intercept[IllegalArgumentException] {
+      decodeNiftiPartition(Iterator(NiftiBlob(2L, evil))).next()
+    }
+    assert(e2.getMessage.contains("bad dims"))
+  }
+
+  test("mm_pipeline reads real .nii files back through binaryFile, equal to mm_decode") {
+    val viaFiles = SparkEntry.queries("mm_pipeline")(spark, sf).collect()
+    val inQuery = SparkEntry.queries("mm_decode")(spark, sf).collect()
+    assert(viaFiles.length == inQuery.length && viaFiles.length > 0)
+    assert(viaFiles.map(_.toString).toSeq == inQuery.map(_.toString).toSeq)
+  }
 }
