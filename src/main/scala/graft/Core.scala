@@ -66,6 +66,9 @@ object Sessions {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.maxResultSize", "2g")
+      // reliable checkpoints (iterCheckpoint's cluster path) are never
+      // deleted by Spark unless this is on — see Par.IterCheckpoint scaladoc
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
   }
 }
@@ -106,7 +109,18 @@ object Par {
     * executor loss would force an O(iterations) recompute of non-replicated
     * local blocks, so when a reliable checkpoint dir is configured
     * (`sparkContext.setCheckpointDir`, the cluster deploy path) this
-    * upgrades to the fault-tolerant `checkpoint` automatically. */
+    * upgrades to the fault-tolerant `checkpoint` automatically.
+    *
+    * Scratch-space contract for the cluster path: Spark never deletes
+    * reliable checkpoint files on its own, so a 20-round dedup_cluster
+    * leaves 20 materialized DataFrames per run, unbounded across runs at
+    * the 100 TB design point. `Sessions.local` therefore sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (GC-driven
+    * deletion once the RDD is unreachable); a cluster deploy that builds
+    * its own session MUST either carry that conf or clean its checkpoint
+    * dir per run — that conf is best-effort (driver GC timing), so a
+    * per-run `fs.delete(checkpointDir)` in the job epilogue is the
+    * belt-and-braces choice for production pipelines. */
   implicit class IterCheckpoint(private val df: DataFrame) extends AnyVal {
     def iterCheckpoint(): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)

@@ -109,6 +109,24 @@ object Streams {
   def piiStream(docs: DataFrame): DataFrame =
     graft.operators.TextPipeline.piiRedact(docs)
 
+  /** Normalize→exact-dedup chain — text_normalize's canonicalization
+    * (lower, collapse \s+, trim) feeding dedup_exact's content hash, with
+    * streaming dropDuplicates keyed on the hash. ONE function applicable to
+    * both a static and a streaming documents frame, so the twin test proves
+    * batch ≡ stream on the same expression tree. Semantics note: batch
+    * dedup_exact pins keep-FIRST by doc_id; a stream necessarily keeps the
+    * first ARRIVAL per hash (the only definable choice under continuous
+    * ingestion), so the equality claim is on the surviving HASH SET, not
+    * the representative ids. State = one hash per distinct document,
+    * partitioned by hash — bounded by corpus distinct count, and at 100 TB
+    * the same chain runs with a watermark bounding state to the
+    * re-ingestion horizon. */
+  def normalizeDedup(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        sha2(lower(trim(regexp_replace(col("text"), "\\s+", " "))), 256)
+          .as("h"))
+      .dropDuplicates("h")
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {

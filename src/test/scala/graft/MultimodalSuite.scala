@@ -89,6 +89,25 @@ class MultimodalSuite extends SparkSpec {
     assert(e2.getMessage.contains("bad dims"))
   }
 
+  test("Arrow columnar-batch decode is bit-equal to the row-wise path") {
+    import spark.implicits._
+    import Multimodal.{NiftiBlob, encodeNifti}
+    val blobs = Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        NiftiBlob(id, encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f)) }
+    // distributed: each partition marshalled through Arrow batches (small
+    // batchRows forces multiple batches per partition)
+    val viaArrow = blobs
+      .mapPartitions(it => Multimodal.decodeNiftiArrow(it, batchRows = 7))
+      .collect().sortBy(_.id)
+    val rowWise = blobs.mapPartitions(Multimodal.decodeNiftiPartition)
+      .collect().sortBy(_.id)
+    assert(viaArrow.length == rowWise.length && viaArrow.nonEmpty)
+    assert(viaArrow.toSeq == rowWise.toSeq) // exact doubles, same order
+  }
+
   test("mm_pipeline reads real .nii files back through binaryFile, equal to mm_decode") {
     val viaFiles = SparkEntry.queries("mm_pipeline")(spark, sf).collect()
     val inQuery = SparkEntry.queries("mm_decode")(spark, sf).collect()

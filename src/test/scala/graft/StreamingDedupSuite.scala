@@ -31,6 +31,38 @@ class StreamingDedupSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming normalize→dedup_exact twin equals the batch chain") {
+    // Input with REAL duplicates: documents unioned with a messier copy of
+    // itself (shifted ids, whitespace/case litter the normalize step must
+    // erase) — 1000 rows in, 500 distinct normalized hashes out.
+    val dir = Files.createTempDirectory("graft_sndedup").toString
+    val docs = Tables.t(spark, sf, "documents")
+    docs.unionByName(docs
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .withColumn("text",
+          concat(lit("  "), upper(col("text")), lit("\t\t  "))))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = Streams.normalizeDedup(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("sndedup_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sndedup_sink")
+        .select("h").collect().map(_.getString(0)).toSet
+      // the SAME function over the static read — batch ≡ stream on the
+      // surviving hash set (representative ids differ by arrival order)
+      val batch = Streams.normalizeDedup(spark.read.parquet(dir))
+        .select("h").collect().map(_.getString(0)).toSet
+      assert(streamed == batch)
+      assert(streamed.size.toLong == docs.count())
+      // and the hash set matches batch dedup_exact's (same content hash,
+      // normalize erases the injected litter)
+      val exact = SparkEntry.queries("dedup_exact")(spark, sf)
+        .select("h").collect().map(_.getString(0)).toSet
+      assert(streamed == exact)
+    } finally q.stop()
+  }
+
   test("stream-stream self join: purchases enriched with signups in-window") {
     val dir = eventsDir
     val src = Streams.fileSource(spark, dir)
