@@ -347,6 +347,33 @@ object Relational {
                 ON s.user_id = p.user_id AND s.ts <= p.ts
               GROUP BY p.event_id ORDER BY p.event_id""")),
 
+    // FORWARD as-of: earliest signup at-or-after each purchase, per user —
+    // the look-ahead direction (next price tick, next deploy after an
+    // alert). Same 100 TB-safe shape as join_asof: one shuffle on user_id,
+    // a first-non-null look-AHEAD window, no join explosion. At equal ts
+    // the signup sorts after the purchase (kind asc) so the forward frame
+    // still sees it — matching the oracle's s.ts >= p.ts.
+    "join_asof_fwd" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = E(s, d).where(col("event_type").isin("signup", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+            when(col("event_type") === "signup", col("ts")).as("sig_ts"),
+            when(col("event_type") === "signup", 1).otherwise(0).as("kind"))
+        val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ev.withColumn("next_signup_ts",
+            first("sig_ts", ignoreNulls = true).over(w))
+          .where(col("event_type") === "purchase")
+          .select("event_id", "next_signup_ts")
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, min(s.ts) AS next_signup_ts
+              FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+              LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                ON s.user_id = p.user_id AND s.ts >= p.ts
+              GROUP BY p.event_id ORDER BY p.event_id""")),
+
     // ---------------------------------------------------------- aggregation
 
     "agg_global" -> Q(
@@ -855,6 +882,36 @@ object Relational {
                      ${oSum("o_totalprice")} AS total
               FROM orders WHERE o_orderkey % 10 = 3
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // STRATIFIED deterministic sampling: a different key-mod rate per
+    // stratum (downsample the dominant class, keep the rare one whole) —
+    // the class-rebalancing primitive for training-data curation.
+    // sampleBy() draws Bernoulli from rand() (non-reproducible across
+    // engines/runs); the key-mod gate is scan-local, shuffle-free, and
+    // replayable in SQL. Per-stratum rates: N(ormal-ish bulk) keeps 1/10,
+    // R keeps 1/3, A keeps all. The unique (l_orderkey, l_linenumber) pair
+    // keys the gate so line items of one order don't all land together.
+    "sample_stratified" -> Q(
+      (s, d) => {
+        val gate = pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(30))
+        L(s, d).where(
+            when(col("l_returnflag") === "N", gate < 3)
+              .when(col("l_returnflag") === "R", gate < 10)
+              .otherwise(lit(true)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"),
+            dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS cnt,
+                     ${oSum("l_quantity")} AS sum_qty
+              FROM lineitem
+              WHERE CASE WHEN l_returnflag = 'N'
+                         THEN (l_orderkey * 7 + l_linenumber) % 30 < 3
+                         WHEN l_returnflag = 'R'
+                         THEN (l_orderkey * 7 + l_linenumber) % 30 < 10
+                         ELSE TRUE END
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Hive-style partitioned layout: write events partitioned by event_type,
     // read back with a partition filter — the filter prunes whole

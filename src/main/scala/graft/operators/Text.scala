@@ -188,6 +188,71 @@ object Text {
                     FROM (SELECT string_split(text, ' ') AS t FROM documents))
               GROUP BY bigram ORDER BY bigram""")),
 
+    // PMI-scored bigram collocations (phrase mining over a training
+    // corpus): pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) with all counts exact
+    // BIGINTs and one pinned double expression at the end (ln rounded at
+    // 6 dp — the text_tfidf idiom; libm vs java.lang.Math ln can differ in
+    // the last bit). Top-100 by (count, a, b) — integer-keyed, fully
+    // deterministic. Scale shape: two token-keyed agg shuffles + two
+    // vocab-sized equi-joins + two broadcast totals; BIGINT products stay
+    // under 2^63 up to ~10^9-token corpora — past that, cast to DOUBLE
+    // before multiplying (noted, not needed at any test sf).
+    "text_collocation" -> Q(
+      (s, d) => {
+        val t = D(s, d).select(toks.as("t"))
+        val uni = t.select(explode(col("t")).as("w"))
+          .where(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val bg = t.select(explode(filter(
+            transform(col("t"), (x, i) =>
+              when(i < size(col("t")) - 1,
+                struct(x.as("a"),
+                  element_at(col("t"), i + lit(2)).as("b")))),
+            _.isNotNull)).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .where(length(col("a")) > 0 && length(col("b")) > 0)
+          .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+        val nU = uni.agg(sum("c").as("n_uni"))
+        val nB = bg.agg(sum("c_ab").as("n_bi"))
+        bg.where(col("c_ab") >= 5)
+          .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+          .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+          .crossJoin(broadcast(nU)).crossJoin(broadcast(nB))
+          .select(col("a"), col("b"), col("c_ab"),
+            round(log(col("c_ab").cast("double") * col("n_uni") * col("n_uni")
+              / (col("n_bi").cast("double") * col("c_a") * col("c_b"))), 6)
+              .as("pmi"))
+          .orderBy(col("c_ab").desc, col("a").asc, col("b").asc)
+          .limit(100)
+      },
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+              uni AS (
+                SELECT w, count(*) AS c FROM (
+                  SELECT unnest(t) AS w FROM t)
+                WHERE length(w) > 0 GROUP BY w),
+              bg AS (
+                SELECT p.a, p.b, count(*) AS c_ab FROM (
+                  SELECT unnest(list_filter(
+                    list_transform(t, (x, i) ->
+                      CASE WHEN i < len(t)
+                           THEN {'a': x, 'b': t[i+1]} END),
+                    y -> y IS NOT NULL)) AS p
+                  FROM t)
+                WHERE length(p.a) > 0 AND length(p.b) > 0
+                GROUP BY p.a, p.b),
+              nu AS (SELECT sum(c) AS n_uni FROM uni),
+              nb AS (SELECT sum(c_ab) AS n_bi FROM bg)
+              SELECT bg.a, bg.b, c_ab,
+                     round(ln(CAST(c_ab AS DOUBLE) * n_uni * n_uni
+                       / (CAST(n_bi AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+              FROM bg
+              JOIN uni ua ON ua.w = bg.a
+              JOIN uni ub ON ub.w = bg.b
+              CROSS JOIN nu CROSS JOIN nb
+              WHERE c_ab >= 5
+              ORDER BY c_ab DESC, bg.a ASC, bg.b ASC
+              LIMIT 100""")),
+
     // TF-IDF top-5 terms per source; idf uses the true source count, and the
     // transcendental ln() is rounded at 6 dp (continuous values — safe).
     "text_tfidf" -> Q(

@@ -162,6 +162,45 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter is injected on the probe side of a selective join") {
+    // At 100 TB the shuffle join's probe side should be pre-pruned by a
+    // bloom filter built from the selective build side (InjectRuntimeFilter
+    // — Spark's own runtime semi-join reduction). Thresholds are production
+    // defaults (10 GB probe-side scan) so the sf-sized fixture needs them
+    // lowered to trip the same code path.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold"
+    ).map(k => k -> util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "128MB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(0, 200000)
+        .select(col("id").as("fk"), (col("id") % 1000).as("v"))
+      val dim = spark.range(0, 10000)
+        .select(col("id").as("dk"), (col("id") % 50).as("cat"))
+        .where(col("cat") === 7) // selective build side
+      val joined = fact.join(dim, col("fk") === col("dk"))
+        .agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") ||
+        optimized.contains("bloom_filter"),
+        s"runtime bloom filter not injected:\n${optimized.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join (OptimizeSkewedJoin)") {
     // The 100× story for fact-fact joins leans on AQE's runtime re-plan:
     // manual salting (agg_salted) covers aggregation skew, but join skew is
