@@ -149,6 +149,11 @@ object ML {
             """transform(sequence(1, size(tokens) - 2),
                  i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"""
           ).as("shingles"))
+        // `featured` is consumed three times (fit + both join sides) but
+        // deliberately NOT checkpointed: measured at sf0.1, materializing
+        // the 5k sparse vectors costs more than re-running the narrow
+        // shingle+hash chain (50 s → 60 s with iterCheckpoint). The join's
+        // minhash evaluation dominates, not the recompute.
         val featured = new HashingTF().setInputCol("shingles")
           .setOutputCol("tf").setNumFeatures(1 << 16).transform(docs)
         val model = new MinHashLSH().setNumHashTables(4).setSeed(42L)

@@ -310,6 +310,37 @@ object Multimodal {
                        (s, p) -> s + p) AS vsum
               FROM embeddings ORDER BY id""")),
 
+    // The Arrow COLUMNAR-BATCH decode as a first-class declared query: same
+    // encode→decode→stats as mm_decode, but each partition is marshalled
+    // through off-heap Arrow VectorSchemaRoot batches (decodeNiftiArrow) —
+    // the JVM-side equivalent of the mapInArrow batch contract a 100 TB
+    // multimodal pipeline feeds to native/Python codecs. Same oracle as
+    // mm_decode: identical arithmetic must survive the Arrow round-trip.
+    "mm_arrow" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Tables.t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .map { case (id, emb) =>
+            NiftiBlob(id, encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f)) }
+          .mapPartitions(it => decodeNiftiArrow(it, batchRows = 128))
+          .toDF()
+          .orderBy("id")
+      },
+      Some("""SELECT vec_id AS id,
+                     CAST(4 AS INT) AS nx, CAST(4 AS INT) AS ny,
+                     CAST(4 AS INT) AS nz, CAST(64 AS BIGINT) AS n_vox,
+                     list_min(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)) AS vmin,
+                     list_max(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)) AS vmax,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * 2.0 + 0.5 + 1.0)),
+                       (s, p) -> s + p) AS vsum
+              FROM embeddings ORDER BY id""")),
+
     // Frame sampling: every-2-seconds frame index per synthetic "video"
     // (duration derived from the key) — the plumbing a video corpus uses to
     // pick decode points before the (stubbed) decoder runs. Narrow

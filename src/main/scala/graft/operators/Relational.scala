@@ -84,6 +84,42 @@ object Relational {
               FROM orders WHERE o_totalprice > 100000
               GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // PERMISSIVE corrupt-record ingestion: every 5th row of a synthesized
+    // CSV carries an unparseable numeric field; the read keeps the good
+    // fields, nulls the bad one, and captures the raw line in the declared
+    // corrupt column — the quarantine pattern for dirty 100 TB feeds
+    // (count/inspect the rejects, never drop them silently; DROPMALFORMED
+    // would hide data loss). Constructed truth: corruptness is keyed on
+    // o_orderkey % 5, so DuckDB replays the classification off the source
+    // table. Double→string→double round-trips exactly (shortest repr), so
+    // the decimal sum over the surviving prices hash-matches.
+    "scan_csv_badrows" -> Q(
+      (s, d) => {
+        val tmp = rtTmp(s, "badcsv")
+        O(s, d)
+          .select(concat_ws(",",
+            col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(5)) === 0, lit("NOT_A_NUMBER"))
+              .otherwise(col("o_totalprice").cast("string"))).as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read
+          .schema("o_orderkey BIGINT, o_totalprice DOUBLE, _bad STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(tmp)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("_bad")).as("n_corrupt"),
+            count(col("o_totalprice")).as("n_good"),
+            dsum(col("o_totalprice")).as("sum_good_price"))
+      },
+      Some(s"""SELECT count(*) AS n_rows,
+                     count(CASE WHEN o_orderkey % 5 = 0 THEN 1 END) AS n_corrupt,
+                     count(CASE WHEN o_orderkey % 5 <> 0 THEN 1 END) AS n_good,
+                     ${oSum("CASE WHEN o_orderkey % 5 <> 0 THEN o_totalprice END")}
+                       AS sum_good_price
+              FROM orders""")),
+
     // ORC round-trip: the third columnar format (vectorized reader, same
     // pushdown machinery as parquet).
     "scan_orc_rt" -> Q(

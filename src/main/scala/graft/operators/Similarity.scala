@@ -249,6 +249,36 @@ object Similarity {
       }),
 
     // Documents ⋈ embeddings with a mixed text + vector predicate.
+    // MLlib BucketedRandomProjectionLSH AS a declared query — the
+    // euclidean-ANN twin of dedup_mllsh (Jaccard), so BOTH MLlib LSH
+    // families run under Bench watch. approxSimilarityJoin buckets each
+    // vector by seeded random hyperplane projections and equi-joins on
+    // (table, bucket) before the exact distance filter — bucket-local
+    // candidates, never probes×corpus. Seeded ⇒ deterministic candidate
+    // set; the hash family isn't SQL-expressible → rows-only (the oracled
+    // ANN surface is sim_ivf_topk / sim_rp_lsh / dedup_embed).
+    "sim_brp_ann" -> Q(
+      (s, d) => {
+        import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+        import org.apache.spark.ml.functions.array_to_vector
+        val vecs = V(s, d).select(col("vec_id"),
+          array_to_vector(col("embedding")).as("features"))
+        val probes = vecs.where(col("vec_id") < PROBES)
+        val model = new BucketedRandomProjectionLSH()
+          .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+          .setInputCol("features").setOutputCol("hashes")
+          .fit(vecs)
+        // 1.2 ≈ the 1st percentile of the probe↔corpus distance
+        // distribution (median 1.41, measured) — keeps genuine neighbors
+        // only; looser caps pass most pairs and defeat the bucketing.
+        model.approxSimilarityJoin(probes, vecs, 1.2, "dist")
+          .select(col("datasetA.vec_id").as("ia"),
+            col("datasetB.vec_id").as("ib"))
+          .where(col("ia") =!= col("ib"))
+          .orderBy("ia", "ib")
+      },
+      None),
+
     "multimodal_join" -> Q(
       (s, d) => D(s, d)
         .join(V(s, d), col("doc_id") === col("vec_id"))
