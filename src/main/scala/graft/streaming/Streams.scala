@@ -127,6 +127,48 @@ object Streams {
           .as("h"))
       .dropDuplicates("h")
 
+  case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
+  case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming twin of the batch ts_funnel chained min-aggs: a per-user
+    * state machine over (ts, event_id)-ordered events — first view, first
+    * click STRICTLY after it, first purchase strictly after that.
+    * Sequential-first over chronological order ≡ the batch min-with-
+    * strictly-later-join formulation, user by user (both pick the earliest
+    * qualifying timestamp at each stage). Update mode: emits the user's
+    * current funnel stage each batch; state is three optional epoch-µs
+    * marks per user, bounded regardless of history length. */
+  def funnelPerUser(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val t = us(e.ts)
+            e.event_type match {
+              case "view" if st.tv.isEmpty =>
+                st = st.copy(tv = Some(t))
+              case "click" if st.tv.nonEmpty && st.tc.isEmpty &&
+                  t > st.tv.get =>
+                st = st.copy(tc = Some(t))
+              case "purchase" if st.tc.nonEmpty && st.tp.isEmpty &&
+                  t > st.tc.get =>
+                st = st.copy(tp = Some(t))
+              case _ =>
+            }
+          }
+          state.update(st)
+          Iterator.single(FunnelOut(uid,
+            if (st.tp.nonEmpty) 3 else if (st.tc.nonEmpty) 2
+            else if (st.tv.nonEmpty) 1 else 0))
+      }
+  }
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {

@@ -118,6 +118,30 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel state machine matches the batch ts_funnel counts") {
+    import spark.implicits._
+    val dir = eventsDir
+    val events = Streams.fileSource(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    val q = Streams.funnelPerUser(events)
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // latest stage per user; stage k implies every stage below it
+      val stages = spark.table("funnel_sink")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+      val streamed = (
+        stages.where(col("stage") >= 1).count(),
+        stages.where(col("stage") >= 2).count(),
+        stages.where(col("stage") >= 3).count())
+      val b = SparkEntry.queries("ts_funnel")(spark, sf).head
+      val batch = (b.getLong(0), b.getLong(1), b.getLong(2))
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state") {
     import spark.implicits._
     val dir = eventsDir
