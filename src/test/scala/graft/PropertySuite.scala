@@ -110,4 +110,29 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("NIfTI-1 encode→decode round-trips stats for any volume and dims") {
+    import graft.operators.Multimodal.{NiftiBlob, encodeNifti, decodeNiftiPartition}
+    val volGen = for {
+      nx <- Gen.chooseNum(1, 8)
+      ny <- Gen.chooseNum(1, 8)
+      nz <- Gen.chooseNum(1, 8)
+      vox <- Gen.listOfN(nx * ny * nz,
+        Gen.chooseNum(-1000.0f, 1000.0f))
+      slope <- Gen.oneOf(0.0f, 0.5f, 1.0f, 2.0f)
+      inter <- Gen.oneOf(-1.0f, 0.0f, 0.25f)
+    } yield (nx, ny, nz, vox.toArray, slope, inter)
+    forSamples(volGen, n = 20) { case (nx, ny, nz, vox, slope, inter) =>
+      val st = decodeNiftiPartition(Iterator(
+        NiftiBlob(1L, encodeNifti(vox, (nx, ny, nz), slope, inter)))).next()
+      // the decode applies the spec's affine scaling (slope 0 ⇒ unscaled)
+      // + the pipeline's +1 — replay the same float→double arithmetic
+      val sl = if (slope == 0f) 1.0 else slope.toDouble
+      val scaled = vox.map(v => v.toDouble * sl + inter.toDouble + 1.0)
+      assert((st.nx, st.ny, st.nz) == ((nx, ny, nz)))
+      assert(st.n_vox == vox.length.toLong)
+      assert(st.vmin == scaled.min && st.vmax == scaled.max)
+      assert(st.vsum == scaled.foldLeft(0.0)(_ + _)) // pinned left fold
+    }
+  }
 }
