@@ -272,7 +272,12 @@ object Multimodal {
         import s.implicits._
         val dir = niftiReady.computeIfAbsent(
           (s.sparkContext.applicationId, d), { _ =>
-            val out = Scratch.dir(s, "nii")
+            // the sfDir must be part of the scratch tag: the cache key is
+            // (app, sfDir) but Scratch.dir is per (tag, app) — two sfDirs
+            // in one JVM would otherwise share a directory and the glob
+            // would read a mixed corpus
+            val out = Scratch.dir(s,
+              "nii_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
             new java.io.File(out).mkdirs()
             Tables.t(s, d, "embeddings")
               .select(col("vec_id"), col("embedding"))

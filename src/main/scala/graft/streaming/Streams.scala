@@ -137,7 +137,11 @@ object Streams {
     * strictly-later-join formulation, user by user (both pick the earliest
     * qualifying timestamp at each stage). Update mode: emits the user's
     * current funnel stage each batch; state is three optional epoch-µs
-    * marks per user, bounded regardless of history length. */
+    * marks per user, bounded regardless of history length. Same ordering
+    * scope as [[ewmaPerUser]]: events are sorted within each micro-batch,
+    * and the equality claim assumes in-order delivery ACROSS batches (true
+    * for the replay/file sources here) — an out-of-order source would need
+    * event-time buffering in state. */
   def funnelPerUser(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     def us(t: java.time.Instant): Long =
