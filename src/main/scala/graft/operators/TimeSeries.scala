@@ -21,6 +21,25 @@ object TimeSeries {
 
   private def E(s: SparkSession, d: String) = Tables.t(s, d, "events")
 
+  /** Closed-form Holt coefficients: cₖ such that level/trend after folding
+    * the recursion over an n-value window equal Σ cₖ·lag(value, k). With
+    * α=β=0.5 every operation is a halving or an add of dyadic rationals —
+    * exact in IEEE double, and Double.toString round-trips them exactly
+    * into the oracle SQL literals. */
+  private def holtCoeffs(n: Int): (Array[Double], Array[Double]) = {
+    val lvl = Array.fill(n)(0.0)
+    val tr = Array.fill(n)(0.0)
+    lvl(n - 1) = 1.0 // seed: level = oldest value in the window, trend = 0
+    for (k <- n - 2 to 0 by -1) {
+      val nl = Array.tabulate(n)(i => 0.5 * (lvl(i) + tr(i)))
+      nl(k) += 0.5
+      val nt = Array.tabulate(n)(i => 0.5 * (nl(i) - lvl(i)) + 0.5 * tr(i))
+      Array.copy(nl, 0, lvl, 0, n)
+      Array.copy(nt, 0, tr, 0, n)
+    }
+    (lvl, tr)
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Tumbling 1-hour windows per event_type.
@@ -189,6 +208,46 @@ object TimeSeries {
     // exact binary doubles and the addition order is pinned by the
     // expression tree, so both engines produce bit-identical doubles.
     // One shuffle on user_id; streaming twin is flatMapGroupsWithState.
+    // Holt's linear-trend (double exponential) smoothing, α=β=0.5, over
+    // each user's last-8-value window — the forecasting step up from
+    // ts_ewma's level-only smoothing. With fixed α/β the recursion
+    // (level' = α·x + (1-α)(level+trend); trend' = β(level'-level) +
+    // (1-β)·trend, seeded level=oldest, trend=0) is LINEAR in the lags, so
+    // the coefficients are precomputed once in Scala — exact dyadic
+    // rationals under halving — and BOTH engines evaluate the same flat
+    // left-associated Σ cₖ·lag(value,k): bit-identical, the ts_ewma idiom.
+    // Full 8-row frames only (rn ≥ 8) — no partial-window ambiguity.
+    "ts_holt" -> Q(
+      (s, d) => {
+        val (cl, ct) = holtCoeffs(8)
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        def pinned(cs: Array[Double]) = cs.zipWithIndex.map { case (c, k) =>
+          lag("value", k).over(w) * lit(c) }.reduceLeft(_ + _)
+        E(s, d)
+          .select(col("event_id"), col("user_id"),
+            row_number().over(w).as("rn"),
+            pinned(cl).as("level"), pinned(ct).as("trend"))
+          .where(col("rn") >= 8)
+          .select(col("event_id"), col("user_id"),
+            col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast"))
+          .orderBy("event_id")
+      },
+      Some {
+        val (cl, ct) = holtCoeffs(8)
+        def pinned(cs: Array[Double]) = cs.zipWithIndex.map { case (c, k) =>
+          s"lag(value, $k) OVER w * $c" }.mkString(" + ")
+        s"""SELECT event_id, user_id, level, trend,
+                   level + trend AS forecast
+            FROM (SELECT event_id, user_id,
+                         row_number() OVER w AS rn,
+                         ${pinned(cl)} AS level,
+                         ${pinned(ct)} AS trend
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE rn >= 8 ORDER BY event_id"""
+      }),
+
     "ts_ewma" -> Q(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
