@@ -93,7 +93,11 @@ object Windows {
           .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("rev"))
           .select(datediff(col("day"), lit("1970-01-01")).cast("bigint").as("epoch_day"),
             col("rev"))
-        val w = Window.orderBy("epoch_day").rangeBetween(-6, 0)
+        // ~2.4k daily rows at any SF (calendar-bounded) — a single-partition
+        // window is the right plan. The constant partition key is semantically
+        // identical to an empty spec (every row in one partition) but keeps
+        // WindowExec from WARN-spamming "No Partition Defined" on each pass.
+        val w = Window.partitionBy(lit(0)).orderBy("epoch_day").rangeBetween(-6, 0)
         daily
           .select(col("epoch_day"),
             (sum("rev").over(w).cast("double") /
@@ -153,7 +157,8 @@ object Windows {
           .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
         val counts = c.groupBy("bkt").agg(count(lit(1)).as("cnt"))
         // Tiny table (one row per bucket): single-partition window is fine.
-        val wOff = Window.orderBy("bkt")
+        // Constant partition key = same plan, no WindowExec WARN (see above).
+        val wOff = Window.partitionBy(lit(0)).orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = counts.select(col("bkt"),
           coalesce(sum("cnt").over(wOff), lit(0L)).as("off"))
