@@ -42,24 +42,30 @@ object Bench {
       s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     def f1(v: Double) = if (v < 0) "-1" else trim(f"$v%.1f")
     val sfName = new java.io.File(sfDir).getName
-    // Emit the best-so-far line after EVERY completed pass: the driver keeps
-    // the last line, so a timeout kill at ANY later point (r6 died mid-run
-    // with nothing printed) still finds the newest completed-pass result.
+    // Emit the best-so-far line after EVERY completed pass — and, during
+    // pass 1, every ~45 s with an explicit "pending" count: the driver
+    // keeps the last line, so a timeout kill at ANY point (r6 died mid-run
+    // with nothing printed) still finds the newest honest result. A
+    // "pending":K line's total covers only the K-fewer measured queries —
+    // flagged, never silently under-reported.
     def emit(passes: Int): Unit = {
       // any failed pass marks the query failed (-1); failures are counted
       // separately and never skew the total
-      val results = names.map { case (n, _) =>
-        val ts = times(n)
-        n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
-      }
+      val results = names.filter { case (n, _) => times.contains(n) }
+        .map { case (n, _) =>
+          val ts = times(n)
+          n -> (if (ts.contains(-1.0)) -1.0 else ts.min)
+        }
+      val pending = names.length - results.length
       val nFailed = results.count(_._2 < 0)
       val total = results.map(_._2).filter(_ >= 0).sum
       val failedField = if (nFailed > 0) s""","failed":$nFailed""" else ""
+      val pendingField = if (pending > 0) s""","pending":$pending""" else ""
       def line(rs: Seq[(String, Double)], elided: Int) = {
         val qs = rs.map { case (k, v) => "\"" + k + "\":" + f1(v) }
           .mkString("{", ",", "}")
         val e = if (elided > 0) s""","elided":$elided""" else ""
-        s"""{"metric":"total","value":${trim(f"$total%.2f")},"unit":"sec","queries":$qs,"sf":"$sfName","passes":$passes$e$failedField}"""
+        s"""{"metric":"total","value":${trim(f"$total%.2f")},"unit":"sec","queries":$qs,"sf":"$sfName","passes":$passes$e$pendingField$failedField}"""
       }
       // Size guard: if the full per-query map would overflow the tail window,
       // keep only the SLOWEST queries (the informative ones — everything
@@ -83,6 +89,7 @@ object Bench {
     var pass = 0
     var lastPassDur = 0.0
     var continue = true
+    var lastEmit = 0.0
     while (continue && pass < runs) {
       pass += 1
       val p0 = elapsedS
@@ -99,6 +106,13 @@ object Bench {
           -1.0
         }
         times(name) = t :: times.getOrElse(name, Nil)
+        // during pass 1 a contention burst (documented: trivial queries
+        // 0.3 s → 33 s for 15+ min) can push even ONE pass past the
+        // driver's timeout — keep a "pending"-flagged partial line in the
+        // tail so a kill mid-pass-1 still leaves parseable signal
+        if (pass == 1 && elapsedS - lastEmit > 45.0) {
+          emit(0); lastEmit = elapsedS
+        }
       }
       lastPassDur = elapsedS - p0
       emit(pass)

@@ -73,9 +73,16 @@ object Sessions {
   }
 }
 
-/** Per-application scratch directories under java.io.tmpdir, registered
-  * for recursive delete at JVM exit (repeated runs must not accumulate
-  * per-app round-trip copies). */
+/** Per-application scratch directories, registered for recursive delete at
+  * JVM exit (repeated runs must not accumulate per-app round-trip copies).
+  *
+  * Base path = `spark.graft.scratchDir` if set, else java.io.tmpdir. A
+  * cluster deploy MUST set it to storage both driver and executors can
+  * reach (e.g. an HDFS/object-store path): operators like mm_pipeline
+  * write from executors and glob from the driver, which only coincide in
+  * local mode when the base is a driver-local tmpdir. Local (scheme-less)
+  * paths are deleted at exit; configured remote paths are left for the
+  * deploy's own lifecycle tooling. */
 object Scratch {
   private val dirs = new java.util.concurrent.ConcurrentHashMap[String, Unit]()
   sys.addShutdownHook {
@@ -83,11 +90,13 @@ object Scratch {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(new java.io.File(p))
+      if (!p.contains("://")) rm(new java.io.File(p))
     }
   }
   def dir(s: SparkSession, tag: String): String = {
-    val p = sys.props("java.io.tmpdir") +
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val p = base.stripSuffix("/") +
       s"/graft_rt_${tag}_${s.sparkContext.applicationId}"
     dirs.put(p, ()); p
   }

@@ -171,31 +171,45 @@ object Multimodal {
     * in MultimodalSuite — proving the plumbing (schema, batch size,
     * off-heap round-trip) without a Python worker. */
   def decodeNiftiArrow(blobs: Iterator[NiftiBlob],
-      batchRows: Int = 128): Iterator[NiftiStats] =
-    blobs.grouped(batchRows).flatMap { batch =>
-      val alloc = new org.apache.arrow.memory.RootAllocator()
-      try {
-        val idVec = new org.apache.arrow.vector.BigIntVector("id", alloc)
-        val blobVec =
-          new org.apache.arrow.vector.VarBinaryVector("blob", alloc)
-        val root = org.apache.arrow.vector.VectorSchemaRoot.of(idVec, blobVec)
+      batchRows: Int = 128): Iterator[NiftiStats] = {
+    if (!blobs.hasNext) return Iterator.empty
+    // ONE allocator + root per PARTITION, not per batch: allocator/vector
+    // construction and teardown every 128 rows was measurable churn on the
+    // hot decode path. The vectors are reset() (buffers kept, counts
+    // zeroed) and refilled per batch; everything closes once, when the
+    // input iterator is exhausted (or a decode throws).
+    val alloc = new org.apache.arrow.memory.RootAllocator()
+    val idVec = new org.apache.arrow.vector.BigIntVector("id", alloc)
+    val blobVec = new org.apache.arrow.vector.VarBinaryVector("blob", alloc)
+    val root = org.apache.arrow.vector.VectorSchemaRoot.of(idVec, blobVec)
+    val batches = blobs.grouped(batchRows)
+    var open = true
+    def closeAll(): Unit = if (open) { open = false; root.close(); alloc.close() }
+    new Iterator[Vector[NiftiStats]] {
+      def hasNext: Boolean = {
+        val h = open && batches.hasNext
+        if (!h) closeAll()
+        h
+      }
+      def next(): Vector[NiftiStats] = {
+        val batch = batches.next()
         try {
-          idVec.allocateNew(batch.size)
-          blobVec.allocateNew()
+          idVec.reset(); blobVec.reset()
           batch.zipWithIndex.foreach { case (b, i) =>
             idVec.setSafe(i, b.id)
             blobVec.setSafe(i, b.blob)
           }
           root.setRowCount(batch.size)
-          // strict materialization: the vectors are closed on exit, so the
-          // decoded stats must not be lazily backed by Arrow memory
-          (0 until root.getRowCount).map { i =>
-            decodeNiftiPartition(
-              Iterator(NiftiBlob(idVec.get(i), blobVec.get(i)))).next()
-          }.toVector
-        } finally root.close()
-      } finally alloc.close()
-    }
+          // one batch-wide decode iterator (not a singleton per row), and
+          // strict materialization: the Arrow buffers are reused by the
+          // next batch, so the decoded stats must not be lazily backed by
+          // Arrow memory
+          decodeNiftiPartition((0 until root.getRowCount).iterator
+            .map(i => NiftiBlob(idVec.get(i), blobVec.get(i)))).toVector
+        } catch { case t: Throwable => closeAll(); throw t }
+      }
+    }.flatten
+  }
 
   val defs: Map[String, Q] = Map(
     // Binary/block ingest of the sf directory itself (the parquet files as
@@ -259,9 +273,14 @@ object Multimodal {
 
     // The END-TO-END multimodal read path: the same decode as mm_decode but
     // with the blobs read back from STORAGE — write each embedding row once
-    // per (application, sfDir) as a real single-file .nii on disk (executor-
-    // side foreachPartition, no driver loop; on a cluster this is shared
-    // storage), then scan via the binaryFile source and decode `content`.
+    // per (application, sfDir) as a real single-file .nii (executor-side
+    // foreachPartition through the Hadoop FileSystem API, no driver loop),
+    // then scan via the binaryFile source and decode `content`. The write
+    // and the scan resolve the SAME path against the same filesystem: the
+    // local FS under the default tmpdir base (local mode), or whatever
+    // shared FS `spark.graft.scratchDir` names on a cluster — executors
+    // writing to their private /tmp while the driver globs its own is
+    // exactly the failure the configurable base exists to prevent.
     // This is the actual read→decode→map→reduce shape every multimodal
     // corpus job runs: scan parallelizes per file, decode is a narrow typed
     // mapPartitions, `spark.sql.files.maxPartitionBytes` sizes the batches.
@@ -278,15 +297,20 @@ object Multimodal {
             // would read a mixed corpus
             val out = Scratch.dir(s,
               "nii_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-            new java.io.File(out).mkdirs()
+            val outP = new org.apache.hadoop.fs.Path(out)
+            outP.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .mkdirs(outP)
             Tables.t(s, d, "embeddings")
               .select(col("vec_id"), col("embedding"))
               .as[(Long, Array[Float])]
               .foreachPartition { it: Iterator[(Long, Array[Float])] =>
+                val fs = new org.apache.hadoop.fs.Path(out)
+                  .getFileSystem(new org.apache.hadoop.conf.Configuration())
                 it.foreach { case (id, emb) =>
-                  java.nio.file.Files.write(
-                    java.nio.file.Paths.get(s"$out/block_$id.nii"),
-                    encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f))
+                  val os = fs.create(
+                    new org.apache.hadoop.fs.Path(s"$out/block_$id.nii"), true)
+                  try os.write(encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f))
+                  finally os.close()
                 }
               }
             out

@@ -38,10 +38,13 @@ object Relational {
   private val bktReady =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Boolean]()
 
-  /** Round-trip scratch dir, unique per Spark application: a parallel bench
-    * + verify (or forked test JVMs) must not overwrite each other mid-read;
+  /** Round-trip scratch dir, unique per (application, sfDir): a parallel
+    * bench + verify (or forked test JVMs) must not overwrite each other
+    * mid-read, and two sfDirs interleaved in ONE JVM must not share a
+    * write-then-read corpus (the niftiReady hazard, fixed the same way);
     * graft.Scratch registers every dir for delete at JVM exit. */
-  private def rtTmp(s: SparkSession, fmt: String): String = graft.Scratch.dir(s, fmt)
+  private def rtTmp(s: SparkSession, fmt: String, d: String): String =
+    graft.Scratch.dir(s, fmt + "_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
 
   // ---------------------------------------------------------------- scans
 
@@ -68,7 +71,7 @@ object Relational {
     // equivalent aggregate on the source table (round-trip must be lossless).
     "scan_csv_rt" -> Q(
       (s, d) => {
-        val tmp = rtTmp(s, "csv") // per-session path: concurrent sessions can't clobber each other
+        val tmp = rtTmp(s, "csv", d) // per-session path: concurrent sessions can't clobber each other
         O(s, d).where(col("o_totalprice") > 100000)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -95,7 +98,7 @@ object Relational {
     // the decimal sum over the surviving prices hash-matches.
     "scan_csv_badrows" -> Q(
       (s, d) => {
-        val tmp = rtTmp(s, "badcsv")
+        val tmp = rtTmp(s, "badcsv", d)
         O(s, d)
           .select(concat_ws(",",
             col("o_orderkey"),
@@ -124,7 +127,7 @@ object Relational {
     // pushdown machinery as parquet).
     "scan_orc_rt" -> Q(
       (s, d) => {
-        val tmp = rtTmp(s, "orc") // per-session path: concurrent sessions can't clobber each other
+        val tmp = rtTmp(s, "orc", d) // per-session path: concurrent sessions can't clobber each other
         L(s, d).where(col("l_discount") >= 0.05)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").orc(tmp)
@@ -142,7 +145,7 @@ object Relational {
     // the source table.
     "scan_json_rt" -> Q(
       (s, d) => {
-        val tmp = rtTmp(s, "json") // per-session path: concurrent sessions can't clobber each other
+        val tmp = rtTmp(s, "json", d) // per-session path: concurrent sessions can't clobber each other
         C(s, d).where(col("c_acctbal") > 0)
           .select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").json(tmp)
@@ -955,7 +958,7 @@ object Relational {
     // partitions), THE layout lever for 100 TB multi-tenant corpora.
     "scan_partitioned" -> Q(
       (s, d) => {
-        val tmp = rtTmp(s, "part")
+        val tmp = rtTmp(s, "part", d)
         E(s, d).write.mode("overwrite").partitionBy("event_type").parquet(tmp)
         s.read.parquet(tmp)
           .where(col("event_type").isin("purchase", "signup"))
@@ -1024,7 +1027,7 @@ object Relational {
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
         val (liT, ordT) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
         bktReady.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
-          val wh = rtTmp(s, "bkt")
+          val wh = rtTmp(s, "bkt", d)
           s.sql(s"DROP TABLE IF EXISTS $liT")
           s.sql(s"DROP TABLE IF EXISTS $ordT")
           L(s, d).select("l_orderkey", "l_quantity")

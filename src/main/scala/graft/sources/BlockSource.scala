@@ -1,10 +1,13 @@
 package graft.sources
 
 import java.util
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -20,9 +23,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * materialized for metadata-only queries), and zero driver involvement
   * in row production.
   *
+  * With a `path` option the connector is also a WRITE target (the
+  * reference's pipelines write blocks back to storage): each task writes
+  * its rows as fixed-format `block_<id>.bin` files through the Hadoop
+  * FileSystem API (12-byte header: magic, grid_x, grid_y; then the float32
+  * payload little-endian), and a path-read plans one split per file group
+  * and reads them back — header-only when the payload column is pruned.
+  * Block files are keyed by block_id with deterministic content, so task
+  * retries/speculation are idempotent per file; a catalog-grade connector
+  * would stage per-attempt temp files and rename at commit.
+  *
   * Usage:
   *   spark.read.format("graft-blocks")
-  *     .option("blocks", 64).option("blockLen", 1024).load()
+  *     .option("blocks", 64).option("blockLen", 1024).load()         // synthetic
+  *   df.write.format("graft-blocks").option("path", dir)
+  *     .mode("overwrite").save()                                     // blocks out
+  *   spark.read.format("graft-blocks").option("path", dir).load()    // blocks in
   */
 class BlockSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-blocks"
@@ -36,7 +52,8 @@ class BlockSource extends TableProvider with DataSourceRegister {
     new BlockTable(
       opts.getInt("blocks", 64),
       opts.getInt("blocklen", 1024),
-      opts.getInt("splits", 8))
+      opts.getInt("splits", 8),
+      Option(opts.get("path")))
   }
 }
 
@@ -48,6 +65,9 @@ object BlockSource {
     StructField("n_bytes", LongType, nullable = false),
     StructField("payload", ArrayType(FloatType, containsNull = false))))
 
+  val Magic: Int = 0x47424C4B // "GBLK"
+  val HeaderLen: Int = 12     // magic + grid_x + grid_y
+
   /** Deterministic synthetic voxel payload (splitmix-style per element). */
   def element(blockId: Long, i: Int): Float = {
     var z = blockId * 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
@@ -57,66 +77,199 @@ object BlockSource {
   }
 }
 
-private class BlockTable(blocks: Int, blockLen: Int, splits: Int)
-    extends Table with SupportsRead {
-  override def name(): String = s"graft_blocks($blocks x $blockLen)"
+private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
+    path: Option[String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = path
+    .map(p => s"graft_blocks($p)")
+    .getOrElse(s"graft_blocks($blocks x $blockLen)")
   override def schema(): StructType = BlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockScanBuilder(blocks, blockLen, splits)
+    new BlockScanBuilder(blocks, blockLen, splits, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val p = path.getOrElse(throw new IllegalArgumentException(
+      "graft-blocks write requires a 'path' option"))
+    new BlockWriteBuilder(p, info.schema())
+  }
 }
 
-private class BlockScanBuilder(blocks: Int, blockLen: Int, splits: Int)
+private class BlockScanBuilder(blocks: Int, blockLen: Int, splits: Int,
+    path: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = BlockSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new BlockScan(blocks, blockLen, splits, required)
+  override def build(): Scan =
+    new BlockScan(blocks, blockLen, splits, path, required)
 }
 
 private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
-    required: StructType) extends Scan with Batch {
+    path: Option[String], required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-blocks pruned=[${required.fieldNames.mkString(",")}]"
+    s"graft-blocks pruned=[${required.fieldNames.mkString(",")}]" +
+      path.map(p => s" path=$p").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1, math.ceil(blocks.toDouble / splits).toInt)
-    (0 until blocks by per)
-      .map(start => BlockRange(start, math.min(blocks, start + per)))
-      .toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = path match {
+    case None =>
+      val per = math.max(1, math.ceil(blocks.toDouble / splits).toInt)
+      (0 until blocks by per)
+        .map(start => BlockRange(start, math.min(blocks, start + per)))
+        .toArray[InputPartition]
+    case Some(p) =>
+      // driver lists metadata only; rows are produced executor-side
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(new Configuration())
+      val files = fs.globStatus(new Path(dir, "block_*.bin"))
+        .map(st => (st.getPath.toString, st.getLen))
+        .sortBy(_._1)
+      val per = math.max(1, math.ceil(files.length.toDouble / splits).toInt)
+      files.grouped(per).map(g => BlockFiles(g.toSeq)).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockReaderFactory(blockLen, required)
+    new BlockReaderFactory(blockLen, path.isDefined, required)
 }
 
 private case class BlockRange(start: Int, end: Int) extends InputPartition
+private case class BlockFiles(files: Seq[(String, Long)]) extends InputPartition
 
-private class BlockReaderFactory(blockLen: Int, required: StructType)
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[BlockRange]
-    new PartitionReader[InternalRow] {
-      private var id = r.start - 1
-      override def next(): Boolean = { id += 1; id < r.end }
-      override def get(): InternalRow = {
-        val values = required.fieldNames.map {
-          case "block_id" => id.toLong
-          case "grid_x" => id % 8
-          case "grid_y" => id / 8
-          case "n_bytes" => blockLen.toLong * 4
-          case "payload" =>
-            // only materialized when the payload column survives pruning
-            org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
-              Array.tabulate(blockLen)(i => BlockSource.element(id.toLong, i)))
-          case other => throw new IllegalStateException(
-            s"BlockSource: unknown required column '$other'")
-        }
-        InternalRow.fromSeq(values.toIndexedSeq)
+private class BlockReaderFactory(blockLen: Int, fromFiles: Boolean,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    if (fromFiles) new FileBlockReader(p.asInstanceOf[BlockFiles], required)
+    else new SyntheticBlockReader(p.asInstanceOf[BlockRange], blockLen, required)
+}
+
+private class SyntheticBlockReader(r: BlockRange, blockLen: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private var id = r.start - 1
+  override def next(): Boolean = { id += 1; id < r.end }
+  override def get(): InternalRow = {
+    val values = required.fieldNames.map {
+      case "block_id" => id.toLong
+      case "grid_x" => id % 8
+      case "grid_y" => id / 8
+      case "n_bytes" => blockLen.toLong * 4
+      case "payload" =>
+        // only materialized when the payload column survives pruning
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array.tabulate(blockLen)(i => BlockSource.element(id.toLong, i)))
+      case other => throw new IllegalStateException(
+        s"BlockSource: unknown required column '$other'")
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
+}
+
+/** Reads block files back; when `payload` is pruned only the 12-byte
+  * header is fetched per file (n_bytes comes from the listing's length). */
+private class FileBlockReader(part: BlockFiles, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private val needPayload = required.fieldNames.contains("payload")
+  private val it = part.files.iterator
+  private var fs: FileSystem = _
+  private var cur: (String, Long) = _
+
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+
+  override def get(): InternalRow = {
+    val (file, len) = cur
+    val p = new Path(file)
+    if (fs == null) fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val bytes =
+      try {
+        val want = if (needPayload) len.toInt else BlockSource.HeaderLen
+        val buf = new Array[Byte](want)
+        in.readFully(0, buf)
+        buf
+      } finally in.close()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.getInt() == BlockSource.Magic,
+      s"graft-blocks: bad magic in $file")
+    val gx = bb.getInt(); val gy = bb.getInt()
+    val blockId = file.replaceAll(".*block_(\\d+)\\.bin$", "$1").toLong
+    val values = required.fieldNames.map {
+      case "block_id" => blockId
+      case "grid_x" => gx
+      case "grid_y" => gy
+      case "n_bytes" => len - BlockSource.HeaderLen
+      case "payload" =>
+        val n = (len.toInt - BlockSource.HeaderLen) / 4
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+          Array.tabulate(n)(_ => bb.getFloat()))
+      case other => throw new IllegalStateException(
+        s"BlockSource: unknown required column '$other'")
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+  override def close(): Unit = ()
+}
+
+// ------------------------------------------------------------------ write
+
+private class BlockWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BlockBatchWrite(path, schema, doTruncate)
+  }
+}
+
+private class BlockBatchWrite(path: String, schema: StructType,
+    truncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate && fs.exists(dir))
+      fs.globStatus(new Path(dir, "block_*.bin"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dir)
+    new BlockWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case class BlockCommit(nBlocks: Long) extends WriterCommitMessage
+
+private class BlockWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  private val iId = schema.fieldIndex("block_id")
+  private val iGx = schema.fieldIndex("grid_x")
+  private val iGy = schema.fieldIndex("grid_y")
+  private val iPay = schema.fieldIndex("payload")
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private lazy val fs =
+        new Path(path).getFileSystem(new Configuration())
+      private var n = 0L
+      override def write(row: InternalRow): Unit = {
+        val id = row.getLong(iId)
+        val arr = row.getArray(iPay)
+        val bb = java.nio.ByteBuffer
+          .allocate(BlockSource.HeaderLen + 4 * arr.numElements())
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(BlockSource.Magic)
+        bb.putInt(row.getInt(iGx))
+        bb.putInt(row.getInt(iGy))
+        var i = 0
+        while (i < arr.numElements()) { bb.putFloat(arr.getFloat(i)); i += 1 }
+        val os = fs.create(new Path(s"$path/block_$id.bin"), true)
+        try os.write(bb.array()) finally os.close()
+        n += 1
       }
+      override def commit(): WriterCommitMessage = BlockCommit(n)
+      override def abort(): Unit = ()
       override def close(): Unit = ()
     }
-  }
 }

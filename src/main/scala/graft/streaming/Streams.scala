@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming twins of the batch time-series operators
   * (SURVEY.md §2.8): the same DataFrame expressions run incrementally —
@@ -173,6 +174,50 @@ object Streams {
       }
   }
 
+  /** [[funnelPerUser]] re-expressed on the Spark 4 arbitrary-state API —
+    * `transformWithState` with a [[FunnelProcessor]]: named state variables
+    * fetched from a handle (RocksDB-backed state store; the API refuses the
+    * HDFS-backed default provider), per-state TTL, optional timers — the
+    * successor surface to flatMapGroupsWithState. Same state machine, same
+    * ordering scope as [[funnelPerUser]]; StreamingSuite asserts
+    * stage-for-stage equality with both the flatMapGroupsWithState twin and
+    * the batch chained-min formulation. */
+  def funnelPerUserTws(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming twin of the corpus-stats aggregation that feeds
+    * text_collocation: bigram counts as a WATERMARKED WINDOWED aggregation —
+    * the exact bigram expression tree of the batch query (adjacent-pair
+    * transform + explode), then (1-minute window, bigram) counts under a
+    * 2-minute watermark. Documents carry no event time, so the replay
+    * attaches a deterministic ingest timestamp (doc_id seconds after epoch)
+    * — at 100 TB the same job keys state by (window, bigram) with the
+    * watermark bounding state to the horizon, not the corpus. Summed across
+    * windows the counts equal the batch bigram counts exactly
+    * (StreamingSuite proves convergence on a replayed corpus). */
+  def bigramCounts(docs: DataFrame): DataFrame = {
+    val t = split(col("text"), " ")
+    docs
+      .withColumn("ts", timestamp_micros(col("doc_id") * lit(1000000L)))
+      .select(col("ts"), explode(filter(
+          transform(t, (x, i) =>
+            when(i < size(t) - 1,
+              struct(x.as("a"), element_at(t, i + lit(2)).as("b")))),
+          _.isNotNull)).as("p"))
+      .select(col("ts"), col("p.a").as("a"), col("p.b").as("b"))
+      .where(length(col("a")) > 0 && length(col("b")) > 0)
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .select(col("window.start").as("w_start"), col("a"), col("b"),
+        col("c_ab"))
+  }
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
@@ -190,5 +235,42 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+}
+
+/** The funnel state machine as a Spark 4 `StatefulProcessor`: state is a
+  * named ValueState variable (three optional epoch-µs marks, bounded per
+  * user) fetched from the handle at init; each input batch folds the
+  * user's events in (ts, event_id) order and emits the current stage —
+  * identical transitions to [[Streams.funnelPerUser]]. */
+class FunnelProcessor
+    extends StatefulProcessor[Long, Streams.Event, Streams.FunnelOut] {
+  @transient private var st: ValueState[Streams.FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.FunnelState]("funnel",
+      Encoders.product[Streams.FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
+      timers: TimerValues): Iterator[Streams.FunnelOut] = {
+    def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    var s = if (st.exists) st.get else Streams.FunnelState(None, None, None)
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val t = us(e.ts)
+      e.event_type match {
+        case "view" if s.tv.isEmpty =>
+          s = s.copy(tv = Some(t))
+        case "click" if s.tv.nonEmpty && s.tc.isEmpty && t > s.tv.get =>
+          s = s.copy(tc = Some(t))
+        case "purchase" if s.tc.nonEmpty && s.tp.isEmpty && t > s.tc.get =>
+          s = s.copy(tp = Some(t))
+        case _ =>
+      }
+    }
+    st.update(s)
+    Iterator.single(Streams.FunnelOut(uid,
+      if (s.tp.nonEmpty) 3 else if (s.tc.nonEmpty) 2
+      else if (s.tv.nonEmpty) 1 else 0))
   }
 }

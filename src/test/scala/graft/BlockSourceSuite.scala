@@ -28,6 +28,37 @@ class BlockSourceSuite extends SparkSpec {
     assert(pruned.agg(sum("n_bytes")).head.getLong(0) == 64L * 256 * 4)
   }
 
+  test("write path round-trips: rows → block files → identical rows back") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk_w").toString
+    blocks.write.format("graft-blocks").option("path", dir)
+      .mode("overwrite").save()
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.matches("block_\\d+\\.bin")) == 64)
+    val back = spark.read.format("graft-blocks").option("path", dir)
+      .option("splits", 8).load()
+    assert(back.count() == 64)
+    // payload sums (and every metadata column) must survive the round-trip
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("block_id"), col("grid_x"), col("grid_y"), col("n_bytes"),
+        expr("aggregate(payload, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
+          .as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(sums(back) == sums(blocks))
+    // overwrite truncates: a second write of FEWER blocks leaves no strays
+    blocks.where(col("block_id") < 16).write.format("graft-blocks")
+      .option("path", dir).mode("overwrite").save()
+    assert(spark.read.format("graft-blocks").option("path", dir).load()
+      .count() == 16)
+    // pruned read off files skips the payload (header-only fetch)
+    val pruned = spark.read.format("graft-blocks").option("path", dir).load()
+      .select("block_id", "n_bytes")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("pruned=[block_id,n_bytes]"), scan.take(1200))
+    assert(pruned.agg(sum("n_bytes")).head.getLong(0) == 16L * 256 * 4)
+  }
+
   test("reference incrementation pipeline runs block-parallel on the source") {
     val inc = blocks.select(col("block_id"),
       expr("transform(payload, x -> CAST(x AS DOUBLE) + 1.0)").as("v"))

@@ -55,9 +55,18 @@ class StreamingDedupSuite extends SparkSpec {
         .select("h").collect().map(_.getString(0)).toSet
       assert(streamed == batch)
       assert(streamed.size.toLong == docs.count())
-      // and the hash set matches batch dedup_exact's (same content hash,
-      // normalize erases the injected litter)
-      val exact = SparkEntry.queries("dedup_exact")(spark, sf)
+      // and the hash set matches the declared dedup_exact query run over
+      // the SAME union corpus with whitespace pre-collapsed: dedup_exact
+      // hashes lower(trim(text)), normalizeDedup additionally collapses
+      // internal \s+ — pre-collapsing makes the two hash expressions
+      // STRUCTURALLY identical (not an accident of a corpus without
+      // double spaces)
+      val exactDir = Files.createTempDirectory("graft_sndedup_x").toString
+      spark.read.parquet(dir)
+        .withColumn("text", regexp_replace(col("text"), "\\s+", " "))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$exactDir/documents.parquet")
+      val exact = SparkEntry.queries("dedup_exact")(spark, exactDir)
         .select("h").collect().map(_.getString(0)).toSet
       assert(streamed == exact)
     } finally q.stop()

@@ -142,6 +142,68 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState funnel twin matches flatMapGroupsWithState and batch") {
+    import spark.implicits._
+    val dir = eventsDir
+    // the Spark 4 arbitrary-state API runs on the RocksDB state store only
+    // (it refuses the HDFS-backed default provider)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streams.fileSource(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.funnelPerUserTws(events)
+        .writeStream.format("memory").queryName("funnel_tws_sink")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val stages = spark.table("funnel_tws_sink")
+          .groupBy("user_id").agg(max("stage").as("stage"))
+        val streamed = (
+          stages.where(col("stage") >= 1).count(),
+          stages.where(col("stage") >= 2).count(),
+          stages.where(col("stage") >= 3).count())
+        val b = SparkEntry.queries("ts_funnel")(spark, sf).head
+        assert(streamed == (b.getLong(0), b.getLong(1), b.getLong(2)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("watermarked windowed bigram counts converge to the batch counts") {
+    val dir = documentsDir
+    val q = Streams.bigramCounts(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("bigram_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // summed across event-time windows == the batch per-bigram counts
+      val streamed = spark.table("bigram_sink")
+        .groupBy("a", "b").agg(sum("c_ab").as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val t = split(col("text"), " ")
+      val batch = Tables.t(spark, sf, "documents")
+        .select(explode(filter(
+            transform(t, (x, i) =>
+              when(i < size(t) - 1,
+                struct(x.as("a"), element_at(t, i + lit(2)).as("b")))),
+            _.isNotNull)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .where(length(col("a")) > 0 && length(col("b")) > 0)
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state") {
     import spark.implicits._
     val dir = eventsDir
