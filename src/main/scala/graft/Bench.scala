@@ -88,6 +88,7 @@ object Bench {
 
     var pass = 0
     var lastPassDur = 0.0
+    var bestPassDur = Double.MaxValue
     var continue = true
     var lastEmit = 0.0
     while (continue && pass < runs) {
@@ -115,10 +116,14 @@ object Bench {
         }
       }
       lastPassDur = elapsedS - p0
+      // estimate the NEXT pass from the FASTEST completed one: pass 1
+      // carries one-time costs (JIT, write-once corpora) that later passes
+      // never repeat, and over-estimating from it starves the min-of-N
+      bestPassDur = math.min(bestPassDur, lastPassDur)
       emit(pass)
-      if (pass < runs && elapsedS + lastPassDur > budgetS) {
+      if (pass < runs && elapsedS + bestPassDur > budgetS) {
         System.err.println(
-          f"[bench] budget: ${elapsedS}%.0fs elapsed + ${lastPassDur}%.0fs/pass > ${budgetS}%.0fs — stopping after pass $pass of $runs")
+          f"[bench] budget: ${elapsedS}%.0fs elapsed + ${bestPassDur}%.0fs/pass > ${budgetS}%.0fs — stopping after pass $pass of $runs")
         continue = false
       }
     }

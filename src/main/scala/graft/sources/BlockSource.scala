@@ -250,8 +250,13 @@ private class BlockWriterFactory(path: String, schema: StructType)
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private lazy val fs =
-        new Path(path).getFileSystem(new Configuration())
+      private lazy val fs = {
+        val f = new Path(path).getFileSystem(new Configuration())
+        // small-file writes: skip ChecksumFileSystem's per-file .crc
+        // sidecar (and the glob-read path never expects one)
+        f.setWriteChecksum(false)
+        f
+      }
       private var n = 0L
       override def write(row: InternalRow): Unit = {
         val id = row.getLong(iId)
