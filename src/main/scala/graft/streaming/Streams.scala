@@ -218,6 +218,28 @@ object Streams {
         col("c_ab"))
   }
 
+  case class SessState(start: Long, last: Long, n: Long) // epoch-µs marks
+  case class SessionOut(user_id: Long, session_start_us: Long,
+      n_events: Long, duration_us: Long)
+
+  /** Sessionization on the Spark 4 arbitrary-state API WITH EVENT-TIME
+    * TIMERS — the capability flatMapGroupsWithState's timeout API only
+    * approximates: sessions split by a >30-min gap are emitted inline as
+    * later events arrive (the batch ts_session rule exactly), and each
+    * user's OPEN trailing session is closed by `handleExpiredTimer` when
+    * the WATERMARK passes last_event + gap — no poll, no processing-time
+    * heuristics, bounded one-ValueState-per-user state. StreamingSuite
+    * proves the emitted set equals the batch ts_session rows that are
+    * closeable under the final watermark (non-trailing sessions, plus
+    * trailing ones whose timer expiry the watermark passed). */
+  def sessionsTws(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(30L * 60 * 1000000),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
@@ -273,4 +295,54 @@ class FunnelProcessor
       if (s.tp.nonEmpty) 3 else if (s.tc.nonEmpty) 2
       else if (s.tv.nonEmpty) 1 else 0))
   }
+}
+
+/** 30-min-gap sessionization with event-time timers (see
+  * [[Streams.sessionsTws]]). State: one (start, last, n) per user. Each
+  * input batch folds events in (ts, event_id) order, emitting sessions
+  * closed by a strict >gap split; the single armed timer is re-pointed at
+  * the open session's last event + gap, and fires — emitting the session
+  * and clearing state — once the watermark passes it. */
+class SessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, Streams.Event, Streams.SessionOut] {
+  @transient private var st: ValueState[Streams.SessState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.SessState]("sess",
+      Encoders.product[Streams.SessState], TTLConfig.NONE)
+
+  private def close(uid: Long, s: Streams.SessState): Streams.SessionOut =
+    Streams.SessionOut(uid, s.start, s.n, s.last - s.start)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
+      timers: TimerValues): Iterator[Streams.SessionOut] = {
+    def us(t: java.time.Instant): Long =
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    val out = scala.collection.mutable.ListBuffer.empty[Streams.SessionOut]
+    var s = if (st.exists) st.get else null
+    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+      val t = us(e.ts)
+      if (s == null) s = Streams.SessState(t, t, 1)
+      else if (t - s.last > gapUs) { // strict >, matching batch ts_session
+        out += close(uid, s)
+        s = Streams.SessState(t, t, 1)
+      } else s = Streams.SessState(s.start, t, s.n + 1)
+    }
+    if (s != null) {
+      st.update(s)
+      // one armed timer per user, re-pointed at the open session's expiry
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last / 1000 + gapUs / 1000)
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(uid: Long, timers: TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[Streams.SessionOut] =
+    if (st.exists) {
+      val s = st.get
+      st.clear()
+      Iterator.single(close(uid, s))
+    } else Iterator.empty
 }

@@ -204,6 +204,58 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState event-time timers close sessions like batch ts_session") {
+    import spark.implicits._
+    val dir = eventsDir
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streams.fileSource(spark, dir)
+        .withWatermark("ts", "10 minutes")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.sessionsTws(events)
+        .writeStream.format("memory").queryName("sess_tws_sink")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("sess_tws_sink")
+          .select("user_id", "session_start_us", "n_events", "duration_us")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        // The closeable batch sessions: every non-trailing session (split
+        // inline by a later event), plus each user's trailing session iff
+        // the final watermark (max ts - 10 min) passed its timer
+        // (last event + 30 min).
+        val maxTsUs = Tables.t(spark, sf, "events")
+          .agg(max(Par.usec(col("ts")))).head.getLong(0)
+        val wmUs = maxTsUs - 10L * 60 * 1000000
+        val gapUs = 30L * 60 * 1000000
+        val batch = SparkEntry.queries("ts_session")(spark, sf)
+        val lastSess = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+        val closeable = batch
+          .withColumn("start_us", Par.usec(col("session_start")))
+          .withColumn("end_us", col("start_us") + col("duration_us"))
+          .withColumn("trailing",
+            col("session_id") === max("session_id").over(lastSess))
+          .where(!col("trailing") || col("end_us") + gapUs < wmUs)
+          .select("user_id", "start_us", "n_events", "duration_us")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(streamed.nonEmpty)
+        assert(streamed == closeable)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state") {
     import spark.implicits._
     val dir = eventsDir
