@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -85,7 +86,7 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
   override def schema(): StructType = BlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(blocks, blockLen, splits, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -219,6 +220,24 @@ private class BlockWriteBuilder(path: String, schema: StructType)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BlockBatchWrite(path, schema, doTruncate)
+    // Streaming sink: same per-block idempotent files, epoch-agnostic —
+    // a replayed epoch rewrites identical bytes to the same block_<id>
+    // paths, which is exactly how an at-least-once sink earns
+    // effectively-exactly-once output without a commit log.
+    override def toStreaming: StreamingWrite =
+      new BlockStreamingWrite(path, schema)
+  }
+}
+
+private object BlockWrites {
+  def prepareDir(path: String, truncate: Boolean): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    if (truncate && fs.exists(dir))
+      fs.globStatus(new Path(dir, "block_*.bin"))
+        .foreach(st => fs.delete(st.getPath, false))
+    fs.mkdirs(dir)
+    ()
   }
 }
 
@@ -226,16 +245,29 @@ private class BlockBatchWrite(path: String, schema: StructType,
     truncate: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
-    if (truncate && fs.exists(dir))
-      fs.globStatus(new Path(dir, "block_*.bin"))
-        .foreach(st => fs.delete(st.getPath, false))
-    fs.mkdirs(dir)
+    BlockWrites.prepareDir(path, truncate)
     new BlockWriterFactory(path, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private class BlockStreamingWrite(path: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    BlockWrites.prepareDir(path, truncate = false)
+    val f = new BlockWriterFactory(path, schema)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        f.createWriter(partitionId, taskId)
+    }
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private case class BlockCommit(nBlocks: Long) extends WriterCommitMessage

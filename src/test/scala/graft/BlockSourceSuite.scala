@@ -59,6 +59,26 @@ class BlockSourceSuite extends SparkSpec {
     assert(pruned.agg(sum("n_bytes")).head.getLong(0) == 16L * 256 * 4)
   }
 
+  test("streaming write sink lands the same block files as the batch path") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_blk_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_blk_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_blk_ck").toString
+    blocks.write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(graft.sources.BlockSource.schema)
+      .parquet(srcDir)
+      .writeStream.format("graft-blocks").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.format("graft-blocks").option("path", outDir).load()
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("block_id"),
+        expr("aggregate(payload, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
+          .as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(back.count() == 64)
+    assert(sums(back) == sums(blocks))
+  }
+
   test("reference incrementation pipeline runs block-parallel on the source") {
     val inc = blocks.select(col("block_id"),
       expr("transform(payload, x -> CAST(x AS DOUBLE) + 1.0)").as("v"))
