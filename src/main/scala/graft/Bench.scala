@@ -86,6 +86,14 @@ object Bench {
       // not be able to strand the line in the PrintStream buffer
     }
 
+    // Untimed warmup: one trivial query absorbs session/codegen/parquet
+    // JIT so pass 1's FIRST query isn't charged ~4 s of one-time cost —
+    // on a budget-stopped (pass-1-only) day that skew would be recorded.
+    names.headOption.foreach { _ =>
+      try SparkEntry.queries.get("scan_parquet")
+        .foreach(_(spark, sfDir).write.mode("overwrite").format("noop").save())
+      catch { case NonFatal(_) => }
+    }
     var pass = 0
     var lastPassDur = 0.0
     var bestPassDur = Double.MaxValue

@@ -79,6 +79,19 @@ class BlockSourceSuite extends SparkSpec {
     assert(sums(back) == sums(blocks))
   }
 
+  test("corrupt block file fails with a diagnostic, not garbage rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk_bad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/block_0.bin"),
+      Array.fill[Byte](32)(0x7f))
+    val e = intercept[Exception] {
+      spark.read.format("graft-blocks").option("path", dir).load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bad magic")), e.toString)
+  }
+
   test("reference incrementation pipeline runs block-parallel on the source") {
     val inc = blocks.select(col("block_id"),
       expr("transform(payload, x -> CAST(x AS DOUBLE) + 1.0)").as("v"))
