@@ -131,6 +131,35 @@ object Streams {
   case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
   case class FunnelOut(user_id: Long, stage: Int)
 
+  private[streaming] def usOf(t: java.time.Instant): Long =
+    t.getEpochSecond * 1000000L + t.getNano / 1000L
+
+  /** The funnel transition fold — ONE definition shared by the
+    * flatMapGroupsWithState twin, both StatefulProcessor variants, and the
+    * batch state bootstrap, so "initial state + live fold ≡ full fold"
+    * holds by construction. Events must already be (ts, event_id)-sorted. */
+  private[streaming] def foldFunnel(init: FunnelState,
+      sorted: Seq[Event]): FunnelState = {
+    var st = init
+    sorted.foreach { e =>
+      val t = usOf(e.ts)
+      e.event_type match {
+        case "view" if st.tv.isEmpty =>
+          st = st.copy(tv = Some(t))
+        case "click" if st.tv.nonEmpty && st.tc.isEmpty && t > st.tv.get =>
+          st = st.copy(tc = Some(t))
+        case "purchase" if st.tc.nonEmpty && st.tp.isEmpty && t > st.tc.get =>
+          st = st.copy(tp = Some(t))
+        case _ =>
+      }
+    }
+    st
+  }
+
+  private[graft] def stageOf(s: FunnelState): Int =
+    if (s.tp.nonEmpty) 3 else if (s.tc.nonEmpty) 2
+    else if (s.tv.nonEmpty) 1 else 0
+
   /** Streaming twin of the batch ts_funnel chained min-aggs: a per-user
     * state machine over (ts, event_id)-ordered events — first view, first
     * click STRICTLY after it, first purchase strictly after that.
@@ -145,32 +174,16 @@ object Streams {
     * event-time buffering in state. */
   def funnelPerUser(events: Dataset[Event]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    def us(t: java.time.Instant): Long =
-      t.getEpochSecond * 1000000L + t.getNano / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-            val t = us(e.ts)
-            e.event_type match {
-              case "view" if st.tv.isEmpty =>
-                st = st.copy(tv = Some(t))
-              case "click" if st.tv.nonEmpty && st.tc.isEmpty &&
-                  t > st.tv.get =>
-                st = st.copy(tc = Some(t))
-              case "purchase" if st.tc.nonEmpty && st.tp.isEmpty &&
-                  t > st.tc.get =>
-                st = st.copy(tp = Some(t))
-              case _ =>
-            }
-          }
+          val st = foldFunnel(
+            state.getOption.getOrElse(FunnelState(None, None, None)),
+            rows.toSeq.sortBy(e => (e.ts, e.event_id)))
           state.update(st)
-          Iterator.single(FunnelOut(uid,
-            if (st.tp.nonEmpty) 3 else if (st.tc.nonEmpty) 2
-            else if (st.tv.nonEmpty) 1 else 0))
+          Iterator.single(FunnelOut(uid, stageOf(st)))
       }
   }
 
@@ -188,6 +201,37 @@ object Streams {
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[funnelPerUserTws]] BOOTSTRAPPED from batch-computed state — the
+    * backfill-then-stream pattern: a batch job folds the historical
+    * events into one FunnelState per user (the SAME [[foldFunnel]]), and
+    * the streaming job starts from that state via
+    * `StatefulProcessorWithInitialState.handleInitialState`, so live
+    * increments continue exactly where the backfill stopped.
+    * StreamingSuite proves bootstrap(historical) + stream(live) ≡
+    * batch(all events). */
+  def funnelPerUserTwsInit(events: Dataset[Event],
+      initial: Dataset[(Long, FunnelState)]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessorWithInit,
+        TimeMode.None(), OutputMode.Update(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  /** Batch bootstrap for [[funnelPerUserTwsInit]]: fold each user's
+    * historical events with the shared transition fold. */
+  def funnelBootstrap(historical: Dataset[Event])
+      : Dataset[(Long, FunnelState)] = {
+    import historical.sparkSession.implicits._
+    historical
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        uid -> foldFunnel(FunnelState(None, None, None),
+          it.toSeq.sortBy(e => (e.ts, e.event_id)))
+      }
   }
 
   /** Streaming twin of the corpus-stats aggregation that feeds
@@ -275,25 +319,37 @@ class FunnelProcessor
 
   override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
       timers: TimerValues): Iterator[Streams.FunnelOut] = {
-    def us(t: java.time.Instant): Long =
-      t.getEpochSecond * 1000000L + t.getNano / 1000L
-    var s = if (st.exists) st.get else Streams.FunnelState(None, None, None)
-    rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
-      val t = us(e.ts)
-      e.event_type match {
-        case "view" if s.tv.isEmpty =>
-          s = s.copy(tv = Some(t))
-        case "click" if s.tv.nonEmpty && s.tc.isEmpty && t > s.tv.get =>
-          s = s.copy(tc = Some(t))
-        case "purchase" if s.tc.nonEmpty && s.tp.isEmpty && t > s.tc.get =>
-          s = s.copy(tp = Some(t))
-        case _ =>
-      }
-    }
+    val s = Streams.foldFunnel(
+      if (st.exists) st.get else Streams.FunnelState(None, None, None),
+      rows.toSeq.sortBy(e => (e.ts, e.event_id)))
     st.update(s)
-    Iterator.single(Streams.FunnelOut(uid,
-      if (s.tp.nonEmpty) 3 else if (s.tc.nonEmpty) 2
-      else if (s.tv.nonEmpty) 1 else 0))
+    Iterator.single(Streams.FunnelOut(uid, Streams.stageOf(s)))
+  }
+}
+
+/** [[FunnelProcessor]]'s transitions accepting batch-bootstrapped state:
+  * `handleInitialState` seeds the ValueState before any live rows arrive
+  * (the backfill-then-stream pattern, [[Streams.funnelPerUserTwsInit]]). */
+class FunnelProcessorWithInit
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, Streams.Event, Streams.FunnelOut, Streams.FunnelState] {
+  @transient private var st: ValueState[Streams.FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Streams.FunnelState]("funnel",
+      Encoders.product[Streams.FunnelState], TTLConfig.NONE)
+
+  override def handleInitialState(uid: Long,
+      initialState: Streams.FunnelState, timers: TimerValues): Unit =
+    st.update(initialState)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
+      timers: TimerValues): Iterator[Streams.FunnelOut] = {
+    val s = Streams.foldFunnel(
+      if (st.exists) st.get else Streams.FunnelState(None, None, None),
+      rows.toSeq.sortBy(e => (e.ts, e.event_id)))
+    st.update(s)
+    Iterator.single(Streams.FunnelOut(uid, Streams.stageOf(s)))
   }
 }
 

@@ -204,6 +204,55 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState initial state: backfill bootstrap + live stream == batch") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // split the corpus at the median event time: everything before is
+      // the batch backfill, everything after streams in live
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      val cutNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
+      val hist = raw.where(col("ts") < cutNs)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val liveDir = Files.createTempDirectory("graft_tws_init").toString
+      raw.where(col("ts") >= cutNs).coalesce(1)
+        .write.mode("overwrite").parquet(liveDir)
+      val initial = Streams.funnelBootstrap(hist)
+      val live = Streams.fileSource(spark, liveDir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.funnelPerUserTwsInit(live, initial)
+        .writeStream.format("memory").queryName("funnel_init_sink")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        // final stage per user = last sink update, falling back to the
+        // bootstrapped stage for users with no live events (their state
+        // is held but never re-emitted)
+        val streamed = spark.table("funnel_init_sink")
+          .groupBy("user_id").agg(max("stage").as("stage"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val boot = initial.collect()
+          .map { case (u, s) => u -> Streams.stageOf(s) }.toMap
+        val merged = (boot ++ streamed).values.toSeq
+        val got = (
+          merged.count(_ >= 1).toLong,
+          merged.count(_ >= 2).toLong,
+          merged.count(_ >= 3).toLong)
+        val b = SparkEntry.queries("ts_funnel")(spark, sf).head
+        assert(got == (b.getLong(0), b.getLong(1), b.getLong(2)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState event-time timers close sessions like batch ts_session") {
     import spark.implicits._
     val dir = eventsDir
