@@ -284,6 +284,23 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type running counts on transformWithState's
+    * MAPSTATE primitive (one map entry per event type seen, not one
+    * value-state blob re-serialized per update — at 100 TB per-key maps
+    * with many sub-keys are the difference between O(1) point updates and
+    * rewriting the whole aggregate). Each batch emits the user's full
+    * current count map; StreamingSuite proves the final counts equal the
+    * batch groupBy(user, type).count(). */
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Arbitrary stateful running per-user aggregate (count + sum) via
     * flatMapGroupsWithState — emits the updated state on every batch. */
   def runningPerUser(events: Dataset[Event]): Dataset[UserRunning] = {
@@ -350,6 +367,31 @@ class FunnelProcessorWithInit
       rows.toSeq.sortBy(e => (e.ts, e.event_id)))
     st.update(s)
     Iterator.single(Streams.FunnelOut(uid, Streams.stageOf(s)))
+  }
+}
+
+/** Per-user event-type counts on MapState (see [[Streams.typeCountsTws]]):
+  * point-increments one map entry per input row, emits the full current
+  * map each batch. */
+class TypeCountProcessor
+    extends StatefulProcessor[Long, Streams.Event, Streams.TypeCount] {
+  @transient private var counts
+      : org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
+      timers: TimerValues): Iterator[Streams.TypeCount] = {
+    rows.foreach { e =>
+      val cur = if (counts.containsKey(e.event_type))
+        counts.getValue(e.event_type) else 0L
+      counts.updateValue(e.event_type, cur + 1L)
+    }
+    counts.iterator().map { case (tpe, n) =>
+      Streams.TypeCount(uid, tpe, n)
+    }.toList.iterator
   }
 }
 

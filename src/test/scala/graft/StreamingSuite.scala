@@ -305,6 +305,39 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState counts match batch groupBy exactly") {
+    import spark.implicits._
+    val dir = eventsDir
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streams.fileSource(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.typeCountsTws(events)
+        .writeStream.format("memory").queryName("typecount_sink")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("typecount_sink")
+          .groupBy("user_id", "event_type").agg(max("n").as("n"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        val batch = Tables.t(spark, sf, "events")
+          .groupBy("user_id", "event_type").count()
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(streamed.nonEmpty)
+        assert(streamed == batch)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-user state") {
     import spark.implicits._
     val dir = eventsDir
