@@ -94,10 +94,14 @@ object Windows {
           .select(datediff(col("day"), lit("1970-01-01")).cast("bigint").as("epoch_day"),
             col("rev"))
         // ~2.4k daily rows at any SF (calendar-bounded) — a single-partition
-        // window is the right plan. The constant partition key is semantically
-        // identical to an empty spec (every row in one partition) but keeps
-        // WindowExec from WARN-spamming "No Partition Defined" on each pass.
-        val w = Window.partitionBy(lit(0)).orderBy("epoch_day").rangeBetween(-6, 0)
+        // window is the right plan. The constant-VALUED partition key is
+        // semantically identical to an empty spec (every row in one
+        // partition) but keeps WindowExec from WARN-spamming "No Partition
+        // Defined" on each pass; it must be NON-FOLDABLE (pmod(col, 1), not
+        // lit(0)) or Catalyst constant-folds it back to an empty spec —
+        // PlanSuite guards this.
+        val w = Window.partitionBy(pmod(col("epoch_day"), lit(1)))
+          .orderBy("epoch_day").rangeBetween(-6, 0)
         daily
           .select(col("epoch_day"),
             (sum("rev").over(w).cast("double") /
@@ -157,8 +161,9 @@ object Windows {
           .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
         val counts = c.groupBy("bkt").agg(count(lit(1)).as("cnt"))
         // Tiny table (one row per bucket): single-partition window is fine.
-        // Constant partition key = same plan, no WindowExec WARN (see above).
-        val wOff = Window.partitionBy(lit(0)).orderBy("bkt")
+        // Non-foldable constant-valued key = same plan, no WindowExec WARN
+        // (see win_range_frame above).
+        val wOff = Window.partitionBy(pmod(col("bkt"), lit(1))).orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)
         val offs = counts.select(col("bkt"),
           coalesce(sum("cnt").over(wOff), lit(0L)).as("off"))

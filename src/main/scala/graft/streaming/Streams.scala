@@ -67,6 +67,15 @@ object Streams {
     * source that delivers a user's events out of event-time order across
     * batches would need event-time buffering in state (e.g. hold events
     * until watermark) to preserve the guarantee. */
+  /** The 10-term EWMA over a newest-first window, with the SAME
+    * multiply-then-left-associated-add order as the batch expression tree
+    * — one definition shared by the flatMapGroupsWithState twin and the
+    * ListState StatefulProcessor so both stay bit-identical to batch. */
+  private[graft] def ewma10(window: List[Double]): Double =
+    (0 until 10).map { k =>
+      (if (k < window.length) window(k) else 0.0) * math.pow(0.5, k)
+    }.reduceLeft(_ + _)
+
   def ewmaPerUser(events: Dataset[Event]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
     events
@@ -78,16 +87,27 @@ object Streams {
           // within a micro-batch the iterator order is unspecified — event
           // time (with the unique id tiebreak) defines the EWMA order
           val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
-            val window = e.value :: recent
-            val terms = (0 until 10).map { k =>
-              (if (k < window.length) window(k) else 0.0) * math.pow(0.5, k)
-            }
+            val v = ewma10(e.value :: recent)
             recent = (e.value :: recent).take(9)
-            EwmaOut(e.event_id, uid, terms.reduceLeft(_ + _))
+            EwmaOut(e.event_id, uid, v)
           }
           state.update(EwmaState(recent))
           out.iterator
       }
+  }
+
+  /** [[ewmaPerUser]] on transformWithState's LISTSTATE primitive: the ≤9
+    * recent values live as list elements (at scale, appends and bounded
+    * rewrites of a small list; no whole-aggregate blob), same fold, same
+    * bit-exactness claim — StreamingSuite asserts bit-identity with batch
+    * ts_ewma. With this, ValueState, ListState, MapState, timers, and
+    * initial state are ALL suite-covered. */
+  def ewmaPerUserTws(events: Dataset[Event]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** File-source stream over a documents-shaped directory — the streaming
@@ -367,6 +387,32 @@ class FunnelProcessorWithInit
       rows.toSeq.sortBy(e => (e.ts, e.event_id)))
     st.update(s)
     Iterator.single(Streams.FunnelOut(uid, Streams.stageOf(s)))
+  }
+}
+
+/** The EWMA recent-values buffer on ListState (see
+  * [[Streams.ewmaPerUserTws]]): newest-first ≤9 doubles, rewritten per
+  * batch via put() — bounded, bit-identical fold to the
+  * flatMapGroupsWithState twin. */
+class EwmaProcessor
+    extends StatefulProcessor[Long, Streams.Event, Streams.EwmaOut] {
+  @transient private var recent
+      : org.apache.spark.sql.streaming.ListState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[Double]("recent",
+      Encoders.scalaDouble, TTLConfig.NONE)
+
+  override def handleInputRows(uid: Long, rows: Iterator[Streams.Event],
+      timers: TimerValues): Iterator[Streams.EwmaOut] = {
+    var rec = if (recent.exists) recent.get().toList else Nil
+    val out = rows.toSeq.sortBy(e => (e.ts, e.event_id)).map { e =>
+      val v = Streams.ewma10(e.value :: rec)
+      rec = (e.value :: rec).take(9)
+      Streams.EwmaOut(e.event_id, uid, v)
+    }
+    recent.put(rec.toArray)
+    out.iterator
   }
 }
 

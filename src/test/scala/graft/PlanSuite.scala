@@ -36,6 +36,37 @@ class PlanSuite extends SparkSpec {
     n
   }
 
+  test("no declared window runs with an empty partition spec (WARN-spam guard)") {
+    // round-7 fix: the two deliberate single-partition windows partition by
+    // a constant — same plan, but an EMPTY spec makes WindowExec WARN once
+    // per task, and that spam buried the round-6 bench line. Guard both.
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (key <- Seq("win_range_frame", "win_ntile_pct")) {
+      val df = SparkEntry.queries(key)(spark, sf)
+      df.collect()
+      var found = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case w: WindowExec =>
+            found += 1
+            assert(w.partitionSpec.nonEmpty,
+              s"$key: WindowExec with empty partition spec")
+          case _ =>
+        }
+        p.children.foreach(walk)
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          // AQE wraps materialized stages; their plans are NOT children
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ =>
+        }
+      }
+      walk(planOf(df))
+      assert(found >= 1, s"$key: no WindowExec in plan")
+    }
+  }
+
   test("scan_pruned pushes the predicate and prunes columns at the scan") {
     val plan = SparkEntry.queries("scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -118,6 +118,39 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ListState EWMA processor is bit-identical to the batch lag chain") {
+    import spark.implicits._
+    val dir = eventsDir
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Streams.fileSource(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Streams.Event]
+      val q = Streams.ewmaPerUserTws(events)
+        .writeStream.format("memory").queryName("ewma_tws_sink")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("ewma_tws_sink")
+          .select("event_id", "ewma10").collect()
+          .map(r => r.getLong(0) ->
+            java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+        val batch = SparkEntry.queries("ts_ewma")(spark, sf)
+          .select("event_id", "ewma10").collect()
+          .map(r => r.getLong(0) ->
+            java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+        assert(streamed.size == batch.size)
+        assert(streamed == batch) // bit-exact through the ListState buffer
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming funnel state machine matches the batch ts_funnel counts") {
     import spark.implicits._
     val dir = eventsDir
