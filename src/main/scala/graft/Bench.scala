@@ -21,11 +21,11 @@ object Bench {
     // later pass escapes it. Pass 1 also absorbs JIT for every query.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // Wall-clock budget (seconds, from main entry). Pass 1 ALWAYS completes
-    // (every query needs >=1 measurement); a later pass only starts if it is
-    // expected to finish inside the budget (elapsed + last pass duration).
-    // Skipping a pass weakens contention immunity (min-of-2 instead of
-    // min-of-3), never honesty — each printed line is a min over the passes
-    // that actually completed.
+    // (every query needs >=1 measurement); a later pass only starts if it
+    // is expected to finish inside the budget (elapsed + FASTEST completed
+    // pass duration). Skipping a pass weakens contention immunity
+    // (min-of-2 instead of min-of-3), never honesty — each printed line is
+    // a min over the passes that actually completed.
     val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "230").toDouble
     val started = System.nanoTime()
     def elapsedS = (System.nanoTime() - started) / 1e9
