@@ -72,6 +72,50 @@ class StreamingDedupSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chained stateful ops: dedup then windowed agg in ONE streaming query") {
+    // Spark 4 runs multiple stateful operators in one append-mode query
+    // (dropDuplicates state feeding windowed-agg state) — the continuous
+    // ingest→dedup→corpus-stats pipeline as a single streaming job rather
+    // than two jobs with an intermediate sink. Input: events duplicated
+    // 2×; the dedup stage must collapse the copies so the downstream
+    // hourly counts equal the batch counts over the ORIGINAL corpus.
+    val dir = Files.createTempDirectory("graft_chain").toString
+    val e = Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"))
+    e.unionByName(e).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+      .parquet(dir)
+      .withWatermark("ts", "24 hours")
+      .dropDuplicates("event_id")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("chain_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chain_sink")
+        .select(unix_micros(col("bucket")).as("b"), col("event_type"),
+          col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = e
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("b"), col("event_type"),
+          col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      // append mode only emits windows the watermark closed — every
+      // emitted window must match batch, and most of the corpus closes
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch))
+      assert(streamed.size >= batch.size / 2, s"${streamed.size}/${batch.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream self join: purchases enriched with signups in-window") {
     val dir = eventsDir
     val src = Streams.fileSource(spark, dir)
