@@ -35,4 +35,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // root=ERROR for the bench/verify stdout-tail contract — from conf/, not
+  // the jar, so consumers embedding this library keep their own logging
+  s"-Dlog4j2.configurationFile=${baseDirectory.value / "conf" / "log4j2.properties"}",
 )
