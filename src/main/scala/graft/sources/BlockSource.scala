@@ -3,6 +3,7 @@ package graft.sources
 import java.util
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -30,9 +31,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * FileSystem API (12-byte header: magic, grid_x, grid_y; then the float32
   * payload little-endian), and a path-read plans one split per file group
   * and reads them back — header-only when the payload column is pruned.
-  * Block files are keyed by block_id with deterministic content, so task
-  * retries/speculation are idempotent per file; a catalog-grade connector
-  * would stage per-attempt temp files and rename at commit.
+  *
+  * All filesystem access resolves through the SESSION's Hadoop
+  * configuration (captured driver-side at plan/build time and shipped to
+  * tasks), so `spark.hadoop.*` credentials and `fs.defaultFS` work against
+  * HDFS/object stores exactly as for the built-in sources — a bare
+  * `new Configuration()` would silently drop them (round-8 ADVICE).
+  *
+  * Write semantics:
+  *   - BATCH: `block_<id>.bin` files are keyed by block_id with
+  *     deterministic content, so task retries/speculation are idempotent
+  *     per file.
+  *   - STREAMING: exactly-once via a commit log. Tasks stage to
+  *     `_staging/e<epoch>_p<part>_t<task>_block_<id>.bin`; the driver's
+  *     `StreamingWrite.commit(epoch)` renames staged files to their final
+  *     names and then atomically records `_commits/epoch_<epoch>` (tmp +
+  *     rename). A replayed epoch whose manifest already exists only cleans
+  *     its staging leftovers — a failure/retry can never re-expose partial
+  *     or duplicate blocks, because nothing outside `_staging/` is touched
+  *     before the epoch's tasks all succeeded, and reads glob only
+  *     top-level `block_*.bin`.
   *
   * Usage:
   *   spark.read.format("graft-blocks")
@@ -75,6 +93,27 @@ object BlockSource {
     z = (z ^ (z >>> 30)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
     ((z & 0xFFFFFF).toFloat / 0xFFFFFF.toFloat) - 0.5f
+  }
+
+  /** Session Hadoop conf (spark.hadoop.*, fs.defaultFS), captured on the
+    * driver. Call sites are all driver-side (plan/build time). */
+  private[sources] def hadoopConf(): Configuration =
+    SparkSession.active.sessionState.newHadoopConf()
+}
+
+/** Minimal serializable Hadoop-conf carrier (the task-side half of the
+  * session-conf contract; Configuration itself is not Serializable). Also
+  * used by operators that write through the Hadoop FS API from executors
+  * (Multimodal's .nii corpus writer). */
+private[graft] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
   }
 }
 
@@ -123,24 +162,31 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
     case Some(p) =>
       // driver lists metadata only; rows are produced executor-side
       val dir = new Path(p)
-      val fs = dir.getFileSystem(new Configuration())
-      val files = fs.globStatus(new Path(dir, "block_*.bin"))
+      val fs = dir.getFileSystem(BlockSource.hadoopConf())
+      if (!fs.exists(dir)) throw new IllegalArgumentException(
+        s"graft-blocks: path does not exist: $p")
+      // globStatus returns null (not empty) when the pattern's parent is
+      // missing — normalize so the zero-file case plans zero splits
+      val files = Option(fs.globStatus(new Path(dir, "block_*.bin")))
+        .getOrElse(Array.empty)
         .map(st => (st.getPath.toString, st.getLen))
         .sortBy(_._1)
       val per = math.max(1, math.ceil(files.length.toDouble / splits).toInt)
       files.grouped(per).map(g => BlockFiles(g.toSeq)).toArray[InputPartition]
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new BlockReaderFactory(blockLen, path.isDefined, required)
+    new BlockReaderFactory(blockLen, path.isDefined, required,
+      new SerializableHadoopConf(BlockSource.hadoopConf()))
 }
 
 private case class BlockRange(start: Int, end: Int) extends InputPartition
 private case class BlockFiles(files: Seq[(String, Long)]) extends InputPartition
 
 private class BlockReaderFactory(blockLen: Int, fromFiles: Boolean,
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (fromFiles) new FileBlockReader(p.asInstanceOf[BlockFiles], required)
+    if (fromFiles) new FileBlockReader(p.asInstanceOf[BlockFiles], required, conf)
     else new SyntheticBlockReader(p.asInstanceOf[BlockRange], blockLen, required)
 }
 
@@ -168,19 +214,20 @@ private class SyntheticBlockReader(r: BlockRange, blockLen: Int,
 
 /** Reads block files back; when `payload` is pruned only the 12-byte
   * header is fetched per file (n_bytes comes from the listing's length). */
-private class FileBlockReader(part: BlockFiles, required: StructType)
-    extends PartitionReader[InternalRow] {
+private class FileBlockReader(part: BlockFiles, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
   private val needPayload = required.fieldNames.contains("payload")
   private val it = part.files.iterator
   private var fs: FileSystem = _
   private var cur: (String, Long) = _
+  private val BlockName = """.*block_(\d+)\.bin$""".r
 
   override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
 
   override def get(): InternalRow = {
     val (file, len) = cur
     val p = new Path(file)
-    if (fs == null) fs = p.getFileSystem(new Configuration())
+    if (fs == null) fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val bytes =
       try {
@@ -194,7 +241,13 @@ private class FileBlockReader(part: BlockFiles, required: StructType)
     require(bb.getInt() == BlockSource.Magic,
       s"graft-blocks: bad magic in $file")
     val gx = bb.getInt(); val gy = bb.getInt()
-    val blockId = file.replaceAll(".*block_(\\d+)\\.bin$", "$1").toLong
+    // validate before toLong: a glob match like block_x.bin must fail with
+    // the offending path, not a bare NumberFormatException
+    val blockId = file match {
+      case BlockName(idStr) => idStr.toLong
+      case _ => throw new IllegalStateException(
+        s"graft-blocks: unparseable block file name: $file")
+    }
     val values = required.fieldNames.map {
       case "block_id" => blockId
       case "grid_x" => gx
@@ -219,60 +272,113 @@ private class BlockWriteBuilder(path: String, schema: StructType)
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new BlockBatchWrite(path, schema, doTruncate)
-    // Streaming sink: same per-block idempotent files, epoch-agnostic —
-    // a replayed epoch rewrites identical bytes to the same block_<id>
-    // paths, which is exactly how an at-least-once sink earns
-    // effectively-exactly-once output without a commit log.
+    // capture the session conf ONCE, driver-side, at build time
+    private val conf = new SerializableHadoopConf(BlockSource.hadoopConf())
+    override def toBatch: BatchWrite =
+      new BlockBatchWrite(path, schema, doTruncate, conf)
     override def toStreaming: StreamingWrite =
-      new BlockStreamingWrite(path, schema)
+      new BlockStreamingWrite(path, schema, conf)
   }
 }
 
 private object BlockWrites {
-  def prepareDir(path: String, truncate: Boolean): Unit = {
+  def prepareDir(path: String, truncate: Boolean, conf: Configuration): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(conf)
     if (truncate && fs.exists(dir))
-      fs.globStatus(new Path(dir, "block_*.bin"))
+      Option(fs.globStatus(new Path(dir, "block_*.bin")))
+        .getOrElse(Array.empty)
         .foreach(st => fs.delete(st.getPath, false))
     fs.mkdirs(dir)
     ()
   }
+
+  /** Atomic-visibility rename: delete any existing target (idempotent
+    * replays), then require the rename to succeed. */
+  def renameInto(fs: FileSystem, from: Path, to: Path): Unit = {
+    if (fs.exists(to)) fs.delete(to, false)
+    require(fs.rename(from, to), s"graft-blocks: rename $from -> $to failed")
+  }
 }
 
+/** Idempotent direct-write batch path (deterministic per-block file names;
+  * retries/speculation rewrite identical bytes). */
 private class BlockBatchWrite(path: String, schema: StructType,
-    truncate: Boolean) extends BatchWrite {
+    truncate: Boolean, conf: SerializableHadoopConf) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    BlockWrites.prepareDir(path, truncate)
-    new BlockWriterFactory(path, schema)
+    BlockWrites.prepareDir(path, truncate, conf.value)
+    new BlockWriterFactory(path, schema, conf, stagePrefix = None)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private class BlockStreamingWrite(path: String, schema: StructType)
-    extends StreamingWrite {
+/** Exactly-once streaming sink: stage → (all tasks succeed) → rename →
+  * manifest. See the class Scaladoc up top for the full protocol. */
+private class BlockStreamingWrite(path: String, schema: StructType,
+    conf: SerializableHadoopConf) extends StreamingWrite {
+
+  private def manifest(epochId: Long) =
+    new Path(path, s"_commits/epoch_$epochId")
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    BlockWrites.prepareDir(path, truncate = false)
-    val f = new BlockWriterFactory(path, schema)
-    new StreamingDataWriterFactory {
-      override def createWriter(partitionId: Int, taskId: Long,
-          epochId: Long): DataWriter[InternalRow] =
-        f.createWriter(partitionId, taskId)
+    BlockWrites.prepareDir(path, truncate = false, conf.value)
+    // top-level factory class: an anonymous one would capture this
+    // (non-serializable) StreamingWrite as its outer instance
+    new BlockStreamingWriterFactory(path, schema, conf)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    val staged = messages.collect { case BlockCommit(blocks) => blocks }.flatten
+    if (fs.exists(manifest(epochId))) {
+      // epoch replayed after a successful commit (failure between commit
+      // and checkpoint advance): final files are already visible and
+      // correct — only clean this replay's staging leftovers
+      staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
+    } else {
+      staged.foreach { case (id, p) =>
+        BlockWrites.renameInto(fs, new Path(p), new Path(path, s"block_$id.bin"))
+      }
+      // manifest write is the commit point: tmp + rename is atomic per
+      // FileSystem contract, so a crash mid-commit leaves either no
+      // manifest (epoch replays, renames re-run idempotently) or a
+      // complete one (replays become no-ops above)
+      val tmp = new Path(path, s"_commits/.epoch_$epochId.tmp")
+      val os = fs.create(tmp, true)
+      try os.write(staged.map(_._1).sorted.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally os.close()
+      BlockWrites.renameInto(fs, tmp, manifest(epochId))
     }
   }
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(conf.value)
+    messages.collect { case BlockCommit(blocks) => blocks }.flatten
+      .foreach { case (_, p) => fs.delete(new Path(p), false) }
+  }
 }
 
-private case class BlockCommit(nBlocks: Long) extends WriterCommitMessage
+private class BlockStreamingWriterFactory(path: String, schema: StructType,
+    conf: SerializableHadoopConf) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new BlockWriterFactory(path, schema, conf,
+      stagePrefix = Some(s"e${epochId}_p${partitionId}_t$taskId"))
+      .createWriter(partitionId, taskId)
+}
 
-private class BlockWriterFactory(path: String, schema: StructType)
+/** Staged block files from one committed task: (block_id, staged path). */
+private case class BlockCommit(blocks: Seq[(Long, String)])
+    extends WriterCommitMessage
+
+private class BlockWriterFactory(path: String, schema: StructType,
+    conf: SerializableHadoopConf, stagePrefix: Option[String])
     extends DataWriterFactory {
   private val iId = schema.fieldIndex("block_id")
   private val iGx = schema.fieldIndex("grid_x")
@@ -283,12 +389,13 @@ private class BlockWriterFactory(path: String, schema: StructType)
       taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private lazy val fs = {
-        val f = new Path(path).getFileSystem(new Configuration())
+        val f = new Path(path).getFileSystem(conf.value)
         // small-file writes: skip ChecksumFileSystem's per-file .crc
         // sidecar (and the glob-read path never expects one)
         f.setWriteChecksum(false)
         f
       }
+      private val staged = scala.collection.mutable.ListBuffer.empty[(Long, String)]
       private var n = 0L
       override def write(row: InternalRow): Unit = {
         val id = row.getLong(iId)
@@ -301,12 +408,21 @@ private class BlockWriterFactory(path: String, schema: StructType)
         bb.putInt(row.getInt(iGy))
         var i = 0
         while (i < arr.numElements()) { bb.putFloat(arr.getFloat(i)); i += 1 }
-        val os = fs.create(new Path(s"$path/block_$id.bin"), true)
+        val target = stagePrefix match {
+          case Some(pre) =>
+            val p = new Path(path, s"_staging/${pre}_block_$id.bin")
+            staged += ((id, p.toString)); p
+          case None => new Path(path, s"block_$id.bin")
+        }
+        val os = fs.create(target, true)
         try os.write(bb.array()) finally os.close()
         n += 1
       }
-      override def commit(): WriterCommitMessage = BlockCommit(n)
-      override def abort(): Unit = ()
+      override def commit(): WriterCommitMessage = BlockCommit(staged.toList)
+      override def abort(): Unit =
+        // best-effort task-side cleanup; the driver's epoch abort sweeps
+        // whatever a dead task could not
+        staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
       override def close(): Unit = ()
     }
 }
