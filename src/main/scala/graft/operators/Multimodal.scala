@@ -185,6 +185,12 @@ object Multimodal {
     val batches = blobs.grouped(batchRows)
     var open = true
     def closeAll(): Unit = if (open) { open = false; root.close(); alloc.close() }
+    // exhaustion/throw below close deterministically, but a consumer that
+    // ABANDONS the iterator early (limit/take, downstream task failure)
+    // would leak the off-heap allocator — inside a task, completion fires
+    // regardless of how the iterator ends (round-8 ADVICE)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
     new Iterator[Vector[NiftiStats]] {
       def hasNext: Boolean = {
         val h = open && batches.hasNext
@@ -300,12 +306,18 @@ object Multimodal {
             val outP = new org.apache.hadoop.fs.Path(out)
             outP.getFileSystem(s.sparkContext.hadoopConfiguration)
               .mkdirs(outP)
+            // session Hadoop conf (spark.hadoop.* credentials, fs.defaultFS)
+            // captured driver-side and shipped to the writing tasks — a bare
+            // new Configuration() would resolve the wrong filesystem on a
+            // cluster whose scratchDir points at HDFS/S3 (round-8 ADVICE)
+            val hconf = new graft.sources.SerializableHadoopConf(
+              s.sessionState.newHadoopConf())
             Tables.t(s, d, "embeddings")
               .select(col("vec_id"), col("embedding"))
               .as[(Long, Array[Float])]
               .foreachPartition { it: Iterator[(Long, Array[Float])] =>
                 val fs = new org.apache.hadoop.fs.Path(out)
-                  .getFileSystem(new org.apache.hadoop.conf.Configuration())
+                  .getFileSystem(hconf.value)
                 // no .crc sidecars: the local FS wraps ChecksumFileSystem,
                 // and a second create per 352-byte blob is 6× the write
                 // cost (measured 2.9 s → 18.2 s for the 2,000-file corpus)
