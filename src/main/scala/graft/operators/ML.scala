@@ -23,6 +23,80 @@ object ML {
 
   private def V(s: SparkSession, d: String) = Tables.t(s, d, "embeddings")
 
+  // ------------------------------------------------------- shared Lloyd core
+  // (kmeans_iter: fixed 3 rounds; kmeans_conv: assignment-fixed-point loop)
+
+  /** Points: dims 1–4 as exact doubles. */
+  private def kmPts(s: SparkSession, d: String): DataFrame =
+    V(s, d).select(col("vec_id"),
+      expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
+        .as("e"))
+
+  /** Seed centroids: vec_id 0..4. */
+  private def kmC0(pts: DataFrame): DataFrame =
+    pts.where(col("vec_id") < 5)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+
+  /** Assignment as a pure NARROW projection: the K centroids are packed
+    * into ONE broadcast row (collect_list of structs), argmin by array_sort
+    * with cid tiebreak — no shuffle, no per-point window. */
+  private def kmAssign(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cid"), col("ce")))
+          .as("cents"))))
+      .withColumn("cid", expr(
+        """array_sort(transform(cents, c -> struct(
+             aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
+                       0D, (s, p) -> s + p) AS d2,
+             c.cid AS cid)))[0].cid"""))
+      .select("vec_id", "e", "cid")
+
+  /** Exact-decimal mean of dim i (order-independent ⇒ bit-identical across
+    * engines, which is what keeps later-iteration distances exact). */
+  private def kmMean(i: Int): Column =
+    (sum(element_at(col("e"), i).cast("decimal(38,10)")).cast("double")
+      / count(lit(1)))
+
+  /** Centroid recompute: the ONLY shuffle per iteration (K×dim partials). */
+  private def kmRecompute(a: DataFrame): DataFrame =
+    a.groupBy("cid").agg(array((1 to 4).map(kmMean): _*).as("ce"))
+
+  /** Final per-cluster output shape shared by both variants. */
+  private def kmOut(a: DataFrame): DataFrame =
+    a.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        (1 to 4).map(i => kmMean(i).as(s"m$i")): _*)
+      .orderBy("cid")
+
+  /** DuckDB oracle: `iters` unrolled assign(+recompute) rounds. The window
+    * argmin here and the array argmin in kmAssign agree because distances
+    * are bit-identical (exact-decimal centroid means, IEEE double math). */
+  private def kmOracle(iters: Int): String = {
+    def oAssign(pts: String, cents: String): String =
+      s"""SELECT vec_id, e, cid FROM (
+            SELECT p.vec_id, p.e, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${oDist2("p.e", "c.ce")} ASC, c.cid ASC) AS rn
+            FROM $pts p, $cents c) WHERE rn = 1"""
+    def oMean(i: Int): String =
+      s"CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS DOUBLE) / count(*)"
+    def oRecompute(a: String): String =
+      s"""SELECT cid, [${(1 to 4).map(oMean).mkString(", ")}] AS ce
+          FROM $a GROUP BY cid"""
+    val rounds = (2 to iters).flatMap(k => Seq(
+      s"c${k - 1} AS (${oRecompute(s"a${k - 1}")})",
+      s"a$k AS (${oAssign("pts", s"c${k - 1}")})")).mkString(",\n            ")
+    val tail = if (rounds.isEmpty) "" else s",\n            $rounds"
+    s"""WITH pts AS (SELECT vec_id,
+            list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, e AS ce FROM pts WHERE vec_id < 5),
+        a1 AS (${oAssign("pts", "c0")})$tail
+        SELECT cid, count(*) AS n,
+               ${(1 to 4).map(i => s"${oMean(i)} AS m$i").mkString(", ")}
+        FROM a$iters GROUP BY cid ORDER BY cid"""
+  }
+
   val defs: Map[String, Q] = Map(
 
     // One Lloyd iteration with centroids fixed to vec_id 0..9: nearest
@@ -73,57 +147,45 @@ object ML {
     // iteration-2/3 distances are bit-identical on both engines.
     "kmeans_iter" -> Q(
       (s, d) => {
-        val pts = V(s, d).select(col("vec_id"),
-          expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
-            .as("e"))
-        val c0 = pts.where(col("vec_id") < 5)
-          .select(col("vec_id").as("cid"), col("e").as("ce"))
-        def assign(cents: DataFrame): DataFrame =
-          pts.crossJoin(broadcast(
-              cents.agg(collect_list(struct(col("cid"), col("ce")))
-                .as("cents"))))
-            .withColumn("cid", expr(
-              """array_sort(transform(cents, c -> struct(
-                   aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
-                             0D, (s, p) -> s + p) AS d2,
-                   c.cid AS cid)))[0].cid"""))
-            .select("vec_id", "e", "cid")
-        def mean(i: Int): Column =
-          (sum(element_at(col("e"), i).cast("decimal(38,10)")).cast("double")
-            / count(lit(1)))
-        def recompute(a: DataFrame): DataFrame =
-          a.groupBy("cid").agg(array((1 to 4).map(mean): _*).as("ce"))
-        val a3 = assign(recompute(assign(recompute(assign(c0)))))
-        a3.groupBy("cid")
-          .agg(count(lit(1)).as("n"),
-            (1 to 4).map(i => mean(i).as(s"m$i")): _*)
-          .orderBy("cid")
+        val pts = kmPts(s, d)
+        val a3 = kmAssign(pts, kmRecompute(kmAssign(pts,
+          kmRecompute(kmAssign(pts, kmC0(pts))))))
+        kmOut(a3)
       },
-      Some {
-        def oAssign(pts: String, cents: String): String =
-          s"""SELECT vec_id, e, cid FROM (
-                SELECT p.vec_id, p.e, c.cid,
-                       row_number() OVER (PARTITION BY p.vec_id
-                         ORDER BY ${oDist2("p.e", "c.ce")} ASC, c.cid ASC) AS rn
-                FROM $pts p, $cents c) WHERE rn = 1"""
-        def oMean(i: Int): String =
-          s"CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS DOUBLE) / count(*)"
-        def oRecompute(a: String): String =
-          s"""SELECT cid, [${(1 to 4).map(oMean).mkString(", ")}] AS ce
-              FROM $a GROUP BY cid"""
-        s"""WITH pts AS (SELECT vec_id,
-                list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings),
-            c0 AS (SELECT vec_id AS cid, e AS ce FROM pts WHERE vec_id < 5),
-            a1 AS (${oAssign("pts", "c0")}),
-            c1 AS (${oRecompute("a1")}),
-            a2 AS (${oAssign("pts", "c1")}),
-            c2 AS (${oRecompute("a2")}),
-            a3 AS (${oAssign("pts", "c2")})
-            SELECT cid, count(*) AS n,
-                   ${(1 to 4).map(i => s"${oMean(i)} AS m$i").mkString(", ")}
-            FROM a3 GROUP BY cid ORDER BY cid"""
-      }),
+      Some(kmOracle(3))),
+
+    // Lloyd iterated TO CONVERGENCE (the reference capability kmeans_iter's
+    // fixed depth omits): loop until the assignment is a FIXED POINT, cap 8.
+    // Assignment-stability (not centroid-delta-<ε) is the declared stop rule
+    // because it makes the capped unrolled oracle EXACT: once a_j == a_{j+1},
+    // recompute(a_j) reproduces the same centroids and every further
+    // unrolled round is bit-for-bit idempotent — so DuckDB's straight-line
+    // 8-round CTE equals Spark's early-stopped loop whether convergence
+    // lands at round 2 or never (both sides then emit round 8). The
+    // convergence probe is the standard distributed-Lloyd driver action:
+    // a limit-1 existence check on changed assignments (narrow join on
+    // vec_id), never a data collect; lineage is truncated per round
+    // (iterCheckpoint) exactly like dedup_cluster/graph_pagerank.
+    "kmeans_conv" -> Q(
+      (s, d) => {
+        import graft.Par.IterCheckpoint
+        val cap = 8
+        val pts = kmPts(s, d)
+        var assigned = kmAssign(pts, kmC0(pts)).iterCheckpoint()
+        var round = 1
+        var stable = false
+        while (!stable && round < cap) {
+          val next = kmAssign(pts, kmRecompute(assigned)).iterCheckpoint()
+          stable = next.as("n")
+            .join(assigned.as("a"), "vec_id")
+            .where(col("n.cid") =!= col("a.cid"))
+            .isEmpty
+          assigned = next
+          round += 1
+        }
+        kmOut(assigned)
+      },
+      Some(kmOracle(8))),
 
     // The MLlib MinHashLSH near-dup path AS a declared query, so the
     // extreme-scale twin of dedup_lsh runs under Bench's wall-time watch
