@@ -148,6 +148,34 @@ object Streams {
           .as("h"))
       .dropDuplicates("h")
 
+  case class SpanOcc(doc_id: Long, h: String)
+  case class SpanAcc(h: String, doc_id: Long, n_occ: Long, dfreq: Long)
+
+  /** Streaming twin of batch `dedup_span`'s span document-frequency
+    * accounting — the last LLM-pipeline family without one. Same span
+    * hashing as the batch query (non-overlapping 20-token spans → md5, so
+    * the shuffle/state key is 32 hex chars, never span text), then a
+    * [[SpanDfProcessor]] keyed by span hash maintains MapState
+    * doc_id → occurrence count. Unlike keep-first dedup, dedup_span's
+    * df >= 2 rule is RETROACTIVE — when a later document duplicates a
+    * span, the EARLIER document's accounting changes — so each batch
+    * re-emits the touched key's full corrected accounting in Update mode;
+    * `n_occ` and `dfreq` are monotone, making the final truth
+    * max-per-(h, doc_id) downstream (StreamingDedupSuite proves equality
+    * with batch dedup_span over the same corpus). */
+  def spanAccounting(docs: DataFrame): Dataset[SpanAcc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("nt", size(col("tk")))
+      .withColumn("st", explode(expr("sequence(0, nt - 1, 20)")))
+      .select(col("doc_id"),
+        md5(expr("array_join(slice(tk, st + 1, 20), ' ')")).as("h"))
+      .as[SpanOcc]
+      .groupByKey(_.h)
+      .transformWithState(new SpanDfProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   case class FunnelState(tv: Option[Long], tc: Option[Long], tp: Option[Long])
   case class FunnelOut(user_id: Long, stage: Int)
 
@@ -441,6 +469,40 @@ class TypeCountProcessor
   }
 }
 
+/** Corpus-wide span df accounting on MapState (see
+  * [[Streams.spanAccounting]]): keyed by 32-hex span hash, one map entry
+  * per contributing document (doc_id → occurrence count). Each batch
+  * point-updates only the touched entries — at 100 TB that is an O(docs
+  * touched) update against a per-span inventory, not a whole-aggregate
+  * blob rewrite — then re-emits the key's full current accounting so
+  * downstream sees the CORRECTED dfreq for earlier documents once a later
+  * one duplicates their span (the retroactive df >= 2 rule keep-first
+  * emission cannot express). dfreq = map entry count = distinct docs, the
+  * exact batch countDistinct. Pathological stop-span keys (df in the
+  * millions) would carry a TTL/cap in a deployed scrubber; the declared
+  * semantics here match the batch query, which has no cap either. */
+class SpanDfProcessor
+    extends StatefulProcessor[String, Streams.SpanOcc, Streams.SpanAcc] {
+  @transient private var docs
+      : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    docs = getHandle.getMapState[Long, Long]("docs",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(h: String, rows: Iterator[Streams.SpanOcc],
+      timers: TimerValues): Iterator[Streams.SpanAcc] = {
+    rows.foreach { r =>
+      val cur =
+        if (docs.containsKey(r.doc_id)) docs.getValue(r.doc_id) else 0L
+      docs.updateValue(r.doc_id, cur + 1L)
+    }
+    val all = docs.iterator().toList
+    val df = all.length.toLong
+    all.map { case (doc, n) => Streams.SpanAcc(h, doc, n, df) }.iterator
+  }
+}
+
 /** 30-min-gap sessionization with event-time timers (see
   * [[Streams.sessionsTws]]). State: one (start, last, n) per user. Each
   * input batch folds events in (ts, event_id) order, emitting sessions
@@ -474,9 +536,12 @@ class SessionProcessor(gapUs: Long)
     }
     if (s != null) {
       st.update(s)
-      // one armed timer per user, re-pointed at the open session's expiry
+      // one armed timer per user, re-pointed at the open session's expiry;
+      // CEIL the µs→ms conversion — independently truncating both terms
+      // could fire up to ~1 ms before last+gap, closing a session the
+      // strict >gap batch rule would still hold open (round-8 ADVICE)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.last / 1000 + gapUs / 1000)
+      getHandle.registerTimer((s.last + gapUs + 999) / 1000)
     }
     out.iterator
   }

@@ -149,4 +149,60 @@ class StreamingDedupSuite extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming dedup_span twin: MapState df accounting equals batch") {
+    // Two micro-batches: documents, then a doc_id-shifted copy of the
+    // first 100 — batch 2 RAISES dfreq on every span of those docs, so the
+    // processor must re-emit corrected accounting for the ORIGINAL doc_ids
+    // (dedup_span's retroactive df>=2 rule; keep-first emission can't
+    // express it). Final truth is max per (h, doc_id): n_occ/dfreq are
+    // monotone under Update mode.
+    val dir = Files.createTempDirectory("graft_sspan").toString
+    val docs = Tables.t(spark, sf, "documents")
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    // the Spark 4 arbitrary-state API runs on the RocksDB state store only
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Streams.spanAccounting(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("sspan_sink")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val echo = docs.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      echo.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("sspan_sink")
+        .groupBy("h", "doc_id")
+        .agg(max("n_occ").as("n_occ"), max("dfreq").as("dfreq"))
+        .groupBy("doc_id")
+        .agg(sum("n_occ").as("n_spans"),
+          sum(when(col("dfreq") >= 2, col("n_occ")).otherwise(0L))
+            .as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          (col("n_dup_spans").cast("double") / col("n_spans"))
+            .as("dup_frac"))
+      // the declared batch query over the SAME final corpus
+      val batchDir = Files.createTempDirectory("graft_sspan_b").toString
+      docs.unionByName(echo).coalesce(1).write.mode("overwrite")
+        .parquet(s"$batchDir/documents.parquet")
+      val batch = SparkEntry.queries("dedup_span")(spark, batchDir)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+      // and batch 2 genuinely corrected history: every original doc < 100
+      // now has dup_frac 1.0 (its echo duplicates every span)
+      val corrected = streamed.where(col("doc_id") < 100 &&
+        col("n_dup_spans") === col("n_spans")).count()
+      assert(corrected == 100L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
