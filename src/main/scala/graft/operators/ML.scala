@@ -37,6 +37,12 @@ object ML {
     pts.where(col("vec_id") < 5)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
 
+  private val kmArgmin = expr(
+    """array_sort(transform(cents, c -> struct(
+         aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
+                   0D, (s, p) -> s + p) AS d2,
+         c.cid AS cid)))[0].cid""")
+
   /** Assignment as a pure NARROW projection: the K centroids are packed
     * into ONE broadcast row (collect_list of structs), argmin by array_sort
     * with cid tiebreak — no shuffle, no per-point window. */
@@ -44,12 +50,21 @@ object ML {
     pts.crossJoin(broadcast(
         cents.agg(collect_list(struct(col("cid"), col("ce")))
           .as("cents"))))
-      .withColumn("cid", expr(
-        """array_sort(transform(cents, c -> struct(
-             aggregate(zip_with(e, c.ce, (x, y) -> (x - y) * (x - y)),
-                       0D, (s, p) -> s + p) AS d2,
-             c.cid AS cid)))[0].cid"""))
+      .withColumn("cid", kmArgmin)
       .select("vec_id", "e", "cid")
+
+  /** Re-assignment FROM the previous round's (checkpointed) assignment —
+    * the points ride along in `prev`, so this is narrow over the
+    * checkpointed frame (no re-join with the point set per round), and the
+    * outgoing cid is kept as prev_cid so the convergence probe is a narrow
+    * scan, not a second shuffle join. */
+  private def kmReassign(prev: DataFrame, cents: DataFrame): DataFrame =
+    prev.withColumnRenamed("cid", "prev_cid")
+      .crossJoin(broadcast(
+        cents.agg(collect_list(struct(col("cid"), col("ce")))
+          .as("cents"))))
+      .withColumn("cid", kmArgmin)
+      .select("vec_id", "e", "cid", "prev_cid")
 
   /** Exact-decimal mean of dim i (order-independent ⇒ bit-identical across
     * engines, which is what keeps later-iteration distances exact). */
@@ -163,9 +178,12 @@ object ML {
     // 8-round CTE equals Spark's early-stopped loop whether convergence
     // lands at round 2 or never (both sides then emit round 8). The
     // convergence probe is the standard distributed-Lloyd driver action:
-    // a limit-1 existence check on changed assignments (narrow join on
-    // vec_id), never a data collect; lineage is truncated per round
-    // (iterCheckpoint) exactly like dedup_cluster/graph_pagerank.
+    // a limit-1 existence check on changed assignments, never a data
+    // collect — and it is NARROW: each round re-assigns FROM the previous
+    // checkpointed frame with the outgoing cid kept as prev_cid, so the
+    // probe scans the just-materialized round (no per-round shuffle join
+    // with the point set). Lineage is truncated per round (iterCheckpoint)
+    // exactly like dedup_cluster/graph_pagerank.
     "kmeans_conv" -> Q(
       (s, d) => {
         import graft.Par.IterCheckpoint
@@ -175,12 +193,10 @@ object ML {
         var round = 1
         var stable = false
         while (!stable && round < cap) {
-          val next = kmAssign(pts, kmRecompute(assigned)).iterCheckpoint()
-          stable = next.as("n")
-            .join(assigned.as("a"), "vec_id")
-            .where(col("n.cid") =!= col("a.cid"))
-            .isEmpty
-          assigned = next
+          val next = kmReassign(assigned, kmRecompute(assigned))
+            .iterCheckpoint()
+          stable = next.where(col("cid") =!= col("prev_cid")).isEmpty
+          assigned = next.drop("prev_cid")
           round += 1
         }
         kmOut(assigned)
