@@ -40,4 +40,78 @@ class StreamingRecoverySuite extends SparkSpec {
     // double counts — complete mode totals = both files exactly once
     assert(afterPhase2 == 1000L + 10000L)
   }
+
+  test("span-df MapState survives a checkpoint restart") {
+    // Phase 1 ingests the corpus and stops; phase 2 restarts from the
+    // checkpoint and ingests a doc_id-shifted echo of the first 100 docs.
+    // The echo's spans can only be accounted dfreq=2 if the RocksDB
+    // MapState (doc_id -> n_occ per span hash) from phase 1 was restored —
+    // fresh state would score every echoed span dfreq=1 and have no
+    // n_occ entry for the original doc_ids to re-emit.
+    val dir = Files.createTempDirectory("graft_recov_span").toString
+    val ckpt = Files.createTempDirectory("graft_recov_span_ck").toString
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docs = Tables.t(spark, sf, "documents")
+      // the memory sink cannot recover an update-mode query from a
+      // checkpoint — foreachBatch can, collecting into a per-run buffer
+      val buf = new scala.collection.mutable.ArrayBuffer[Streams.SpanAcc]
+      def start() =
+        Streams.spanAccounting(Streams.documentsSource(spark, dir))
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[Streams.SpanAcc], _: Long) =>
+              buf.synchronized { buf ++= df.collect() }; ()
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+
+      docs.coalesce(1).write.mode("overwrite").parquet(dir)
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+
+      val echo = docs.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      echo.coalesce(1).write.mode("append").parquet(dir)
+      buf.synchronized(buf.clear()) // keep ONLY what the restarted run emits
+      val q2 = start()
+      q2.processAllAvailable()
+      try {
+        // phase 2 re-emits the FULL corrected map of every touched span
+        // key (all spans of docs < 100), so the restarted run alone
+        // carries complete accounting for originals + echoes — equal to
+        // the batch dedup_span over the union corpus, restricted to them
+        import spark.implicits._
+        val streamed = spark.createDataset(buf.synchronized(buf.toVector))
+          .groupBy("h", "doc_id")
+          .agg(max("n_occ").as("n_occ"), max("dfreq").as("dfreq"))
+          // touched keys re-emit entries for OTHER docs sharing the span
+          // (complete per-span, but not all spans of those docs) — compare
+          // only the docs whose full span inventory phase 2 re-emitted
+          .where(col("doc_id") < 100 || col("doc_id") >= 10000)
+          .groupBy("doc_id")
+          .agg(sum("n_occ").as("n_spans"),
+            sum(when(col("dfreq") >= 2, col("n_occ")).otherwise(0L))
+              .as("n_dup_spans"))
+          .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+            (col("n_dup_spans").cast("double") / col("n_spans"))
+              .as("dup_frac"))
+        val batchDir = Files.createTempDirectory("graft_recov_span_b")
+        docs.unionByName(echo).coalesce(1).write.mode("overwrite")
+          .parquet(s"$batchDir/documents.parquet")
+        val batch = SparkEntry.queries("dedup_span")(spark, batchDir.toString)
+          .where(col("doc_id") < 100 || col("doc_id") >= 10000)
+        assert(streamed.count() == batch.count())
+        assert(streamed.exceptAll(batch).isEmpty &&
+          batch.exceptAll(streamed).isEmpty)
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
