@@ -330,6 +330,17 @@ private class BlockStreamingWrite(path: String, schema: StructType,
     new BlockStreamingWriterFactory(path, schema, conf)
   }
 
+  /** Remove every `_staging/e<epoch>_*` leftover: staged files of FAILED
+    * or speculative task attempts never appear in any commit message, so
+    * without this epoch-scoped sweep they would accumulate forever. Safe
+    * at commit time — the epoch is decided, so any file still in staging
+    * for it is dead (a straggler attempt that loses the commit race will
+    * abort anyway). */
+  private def sweepStaging(fs: FileSystem, epochId: Long): Unit =
+    Option(fs.globStatus(new Path(path, s"_staging/e${epochId}_*")))
+      .getOrElse(Array.empty)
+      .foreach(st => fs.delete(st.getPath, false))
+
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(conf.value)
@@ -354,6 +365,7 @@ private class BlockStreamingWrite(path: String, schema: StructType,
       finally os.close()
       BlockWrites.renameInto(fs, tmp, manifest(epochId))
     }
+    sweepStaging(fs, epochId)
   }
 
   override def abort(epochId: Long,
@@ -361,6 +373,7 @@ private class BlockStreamingWrite(path: String, schema: StructType,
     val fs = new Path(path).getFileSystem(conf.value)
     messages.collect { case BlockCommit(blocks) => blocks }.flatten
       .foreach { case (_, p) => fs.delete(new Path(p), false) }
+    sweepStaging(fs, epochId)
   }
 }
 

@@ -36,8 +36,15 @@ class BlockExactlyOnceSuite extends graft.SparkSpec {
     val w1 = factory.createWriter(1, 1L, 0L)
     w1.write(row(2))
     w1.abort() // task failure
+    // a DEAD attempt: wrote to staging, then the executor vanished — no
+    // commit message, no task-side abort ever reaches the driver
+    factory.createWriter(1, 2L, 0L).write(row(2))
     assert(visible.isEmpty, "a block from an uncommitted epoch is visible")
     sw.abort(0L, Array(m0)) // driver-side epoch abort on query death
+    // the epoch-scoped sweep must also have cleaned the dead attempt's file
+    val fs0 = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(Option(fs0.globStatus(new Path(dir, "_staging/*")))
+      .getOrElse(Array.empty).isEmpty, "dead-attempt staging leaked past abort")
 
     // ---- restart: full replay of epoch 0 succeeds
     val wa = factory.createWriter(0, 10L, 0L)
@@ -48,10 +55,13 @@ class BlockExactlyOnceSuite extends graft.SparkSpec {
     assert(visible == Seq(0L, 1L, 2L))
 
     // ---- replay of the already-committed epoch: a no-op, never a dupe
+    // (plus a losing speculative attempt whose staging only the commit-time
+    // sweep can reclaim)
     val wc = factory.createWriter(0, 20L, 0L)
     wc.write(row(0)); wc.write(row(1))
     val wd = factory.createWriter(1, 21L, 0L)
     wd.write(row(2))
+    factory.createWriter(1, 22L, 0L).write(row(2)) // speculative, vanishes
     sw.commit(0L, Array(wc.commit(), wd.commit()))
     assert(visible == Seq(0L, 1L, 2L))
 
