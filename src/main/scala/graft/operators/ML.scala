@@ -27,13 +27,13 @@ object ML {
   // (kmeans_iter: fixed 3 rounds; kmeans_conv: assignment-fixed-point loop)
 
   /** Points: dims 1–4 as exact doubles. */
-  private def kmPts(s: SparkSession, d: String): DataFrame =
+  private[graft] def kmPts(s: SparkSession, d: String): DataFrame =
     V(s, d).select(col("vec_id"),
       expr("transform(slice(embedding, 1, 4), x -> CAST(x AS DOUBLE))")
         .as("e"))
 
   /** Seed centroids: vec_id 0..4. */
-  private def kmC0(pts: DataFrame): DataFrame =
+  private[graft] def kmC0(pts: DataFrame): DataFrame =
     pts.where(col("vec_id") < 5)
       .select(col("vec_id").as("cid"), col("e").as("ce"))
 
@@ -58,7 +58,7 @@ object ML {
     * checkpointed frame (no re-join with the point set per round), and the
     * outgoing cid is kept as prev_cid so the convergence probe is a narrow
     * scan, not a second shuffle join. */
-  private def kmReassign(prev: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def kmReassign(prev: DataFrame, cents: DataFrame): DataFrame =
     prev.withColumnRenamed("cid", "prev_cid")
       .crossJoin(broadcast(
         cents.agg(collect_list(struct(col("cid"), col("ce")))
@@ -73,7 +73,7 @@ object ML {
       / count(lit(1)))
 
   /** Centroid recompute: the ONLY shuffle per iteration (K×dim partials). */
-  private def kmRecompute(a: DataFrame): DataFrame =
+  private[graft] def kmRecompute(a: DataFrame): DataFrame =
     a.groupBy("cid").agg(array((1 to 4).map(kmMean): _*).as("ce"))
 
   /** Final per-cluster output shape shared by both variants. */

@@ -276,4 +276,24 @@ class PlanSuite extends SparkSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("kmeans_conv round: point data never shuffles, probe is narrow") {
+    // One convergence-loop round over a materialized assignment. The only
+    // shuffles allowed are the two K-row centroid aggregations (recompute
+    // groupBy + the collect_list pack); the point-set path — re-assignment
+    // AND the changed-assignment probe — must stay narrow. A reintroduced
+    // per-round join with the point set would jump this count.
+    import graft.operators.ML
+    import graft.Par.IterCheckpoint
+    import org.apache.spark.sql.functions.col
+    val assigned = ML.kmReassign(
+        ML.kmC0(ML.kmPts(spark, sf)).select(
+          col("cid").as("vec_id"), col("ce").as("e"), col("cid")),
+        ML.kmC0(ML.kmPts(spark, sf)))
+      .drop("prev_cid").iterCheckpoint()
+    val round = ML.kmReassign(assigned, ML.kmRecompute(assigned))
+    val probe = round.where(col("cid") =!= col("prev_cid"))
+    assert(countShuffles(probe) <= 2,
+      s"kmeans_conv round grew a point-set shuffle: ${countShuffles(probe)}")
+  }
 }
