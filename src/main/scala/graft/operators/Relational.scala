@@ -161,6 +161,34 @@ object Relational {
               FROM customer WHERE c_acctbal > 0
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // XML round-trip — Spark 4's built-in XML source (spark-xml was
+    // upstreamed): row-tag records with an explicit read schema, lossless
+    // for the same shortest-repr reason as CSV/JSON. Completes the
+    // text-format round-trip family (csv, json, text, xml). Supplier keeps
+    // the XML-parse cost sub-second at sf0.1 while still exercising a
+    // grouped exact-decimal aggregate over the re-read data.
+    "scan_xml_rt" -> Q(
+      (s, d) => {
+        val tmp = rtTmp(s, "xml", d) // per-session path, see rtTmp
+        S(s, d).where(col("s_acctbal") > 0)
+          .select("s_suppkey", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").format("xml")
+          .option("rootTag", "suppliers").option("rowTag", "supplier")
+          .save(tmp)
+        s.read.format("xml")
+          // s_nationkey is INT in the source parquet — read it back at the
+          // same width or the driver's schema compare flags int64 vs int32
+          .schema("s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE")
+          .option("rowTag", "supplier").load(tmp)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, count(*) AS cnt,
+                     ${oSum("s_acctbal")} AS total
+              FROM supplier WHERE s_acctbal > 0
+              GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
     // ------------------------------------------- projection / filter / case
 
     // Per-row IEEE arithmetic with the same expression tree is bit-identical
