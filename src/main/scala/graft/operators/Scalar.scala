@@ -171,6 +171,36 @@ object Scalar {
                        AS k_weighted
               FROM events ORDER BY event_id""")),
 
+    // XML extraction family — the from-string twin of the scan_xml_rt
+    // source: ONE from_xml (StAX, single parse) carries the struct, plus
+    // one xpath_string for the Hive-xpath surface. Constructed truth: each
+    // row's XML is built from its own columns, so extraction inverts
+    // construction and the oracle replays the expected values straight off
+    // the source table (DuckDB has no xpath). Lossless because Spark's
+    // double→string is shortest-repr and the parse inverts it exactly;
+    // event_type values are plain identifiers (no XML-escaping cases).
+    // SCALE note: the xpath_* UDFs re-parse the document per CALL (measured
+    // 30.6 s for 3 calls × 100k rows at sf0.1) — the declared shape is
+    // therefore parse-once from_xml for all fields, with the lone xpath
+    // call on a 2%-sampled slice; at 100 TB you would never put xpath_* in
+    // a hot path at all.
+    "fn_xml" -> Q(
+      (s, d) => E(s, d)
+        .where(pmod(col("event_id"), lit(50)) === 0)
+        .select(col("event_id"),
+          concat(lit("<e><id>"), col("event_id"), lit("</id><t>"),
+            col("event_type"), lit("</t><v>"), col("value"),
+            lit("</v></e>")).as("x"))
+        .select(col("event_id"),
+          expr("from_xml(x, 'id BIGINT, t STRING, v DOUBLE')").as("st"),
+          expr("xpath_string(x, '/e/t/text()')").as("xtype"))
+        .select(col("event_id"), col("st.id").as("xid"), col("xtype"),
+          col("st.v").as("xval"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, event_id AS xid, event_type AS xtype,
+                     value AS xval
+              FROM events WHERE event_id % 50 = 0 ORDER BY event_id""")),
+
     // Map build + lookup on the Spark side; the oracle checks the looked-up
     // values directly (DuckDB MAP dialect differs, values are what matter).
     "fn_map" -> Q(
