@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -52,12 +53,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     before the epoch's tasks all succeeded, and reads glob only
   *     top-level `block_*.bin`.
   *
+  * Read semantics:
+  *   - BATCH: split-planned pruned reads of `block_*.bin` (or synthetic).
+  *   - STREAMING (micro-batch): tails the directory, each file exactly
+  *     once; discovery order is pinned in a persistent log under the
+  *     stream checkpoint so restarts resolve offsets to the same files.
+  *     Every write path lands files via tmp+rename, so a discovered file
+  *     is always complete.
+  *
   * Usage:
   *   spark.read.format("graft-blocks")
   *     .option("blocks", 64).option("blockLen", 1024).load()         // synthetic
   *   df.write.format("graft-blocks").option("path", dir)
   *     .mode("overwrite").save()                                     // blocks out
   *   spark.read.format("graft-blocks").option("path", dir).load()    // blocks in
+  *   spark.readStream.format("graft-blocks").option("path", dir).load() // tail
   */
 class BlockSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-blocks"
@@ -125,7 +135,8 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
   override def schema(): StructType = BlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(blocks, blockLen, splits, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -177,6 +188,97 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockReaderFactory(blockLen, path.isDefined, required,
       new SerializableHadoopConf(BlockSource.hadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    path match {
+      case Some(p) =>
+        new BlockMicroBatchStream(p, splits, required, checkpointLocation)
+      case None => throw new UnsupportedOperationException(
+        "graft-blocks streaming read requires a 'path' option")
+    }
+}
+
+/** Micro-batch READ: tails a block directory, emitting each `block_*.bin`
+  * file exactly once. Discovery order is pinned in a persistent ordered
+  * file log under the stream's checkpoint location (tmp+rename rewrite),
+  * so an offset is just an index into that log — a restarted query
+  * resolves the same (start, end] to the same files even if the directory
+  * has since grown, and files that sort before the watermark are still
+  * picked up (discovery appends, the log never re-sorts). Pairs with the
+  * exactly-once streaming sink: its commit renames blocks into place
+  * atomically, so a discovered file is always complete. */
+private class BlockMicroBatchStream(path: String, splits: Int,
+    required: StructType, ckptDir: String) extends MicroBatchStream {
+
+  private case class IdxOffset(idx: Long) extends Offset {
+    override def json(): String = idx.toString
+  }
+
+  private val fs = new Path(path).getFileSystem(BlockSource.hadoopConf())
+  // the checkpoint may live on a DIFFERENT filesystem than the data path
+  // (hdfs checkpoint over an object-store block dir) — resolve separately
+  private val ckptFs = new Path(ckptDir).getFileSystem(BlockSource.hadoopConf())
+  private val logPath = new Path(ckptDir, "graft_blocks_seen.log")
+  // ordered (file, length) discovery log + fast membership; loaded from
+  // the persisted log so restart offsets keep meaning
+  private val assigned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  locally {
+    if (ckptFs.exists(logPath)) {
+      val in = ckptFs.open(logPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).foreach { line =>
+          val i = line.lastIndexOf('\t')
+          val entry = (line.substring(0, i), line.substring(i + 1).toLong)
+          assigned += entry; seen += entry._1
+        }
+      finally in.close()
+    }
+  }
+
+  private def persist(): Unit = {
+    val tmp = new Path(ckptDir, ".graft_blocks_seen.log.tmp")
+    val os = ckptFs.create(tmp, true)
+    try os.write(assigned.map { case (f, n) => s"$f\t$n" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally os.close()
+    BlockWrites.renameInto(ckptFs, tmp, logPath)
+  }
+
+  override def latestOffset(): Offset = {
+    val files = Option(fs.globStatus(new Path(new Path(path), "block_*.bin")))
+      .getOrElse(Array.empty)
+      .map(st => (st.getPath.toString, st.getLen))
+      .sortBy(_._1)
+    val fresh = files.filterNot { case (f, _) => seen(f) }
+    if (fresh.nonEmpty) {
+      assigned ++= fresh
+      seen ++= fresh.map(_._1)
+      persist()
+    }
+    IdxOffset(assigned.length.toLong)
+  }
+
+  override def initialOffset(): Offset = IdxOffset(0L)
+  override def deserializeOffset(json: String): Offset = IdxOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[IdxOffset].idx.toInt
+    val e = end.asInstanceOf[IdxOffset].idx.toInt
+    val slice = assigned.slice(s, e)
+    if (slice.isEmpty) Array.empty
+    else {
+      val per = math.max(1, math.ceil(slice.length.toDouble / splits).toInt)
+      slice.grouped(per).map(g => BlockFiles(g.toSeq)).toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BlockReaderFactory(0, fromFiles = true, required,
+      new SerializableHadoopConf(BlockSource.hadoopConf()))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private case class BlockRange(start: Int, end: Int) extends InputPartition
@@ -421,14 +523,23 @@ private class BlockWriterFactory(path: String, schema: StructType,
         bb.putInt(row.getInt(iGy))
         var i = 0
         while (i < arr.numElements()) { bb.putFloat(arr.getFloat(i)); i += 1 }
-        val target = stagePrefix match {
+        stagePrefix match {
           case Some(pre) =>
             val p = new Path(path, s"_staging/${pre}_block_$id.bin")
-            staged += ((id, p.toString)); p
-          case None => new Path(path, s"block_$id.bin")
+            staged += ((id, p.toString))
+            val os = fs.create(p, true)
+            try os.write(bb.array()) finally os.close()
+          case None =>
+            // ATOMIC visibility for the direct batch path too: a streaming
+            // reader tailing this directory must never glob a mid-write
+            // file (it would log a partial length and underflow on read).
+            // Tmp name is attempt-unique so speculative twins can't
+            // clobber each other; the dot prefix keeps it out of the glob.
+            val tmp = new Path(path, s".block_$id.bin.p${partitionId}_t$taskId")
+            val os = fs.create(tmp, true)
+            try os.write(bb.array()) finally os.close()
+            BlockWrites.renameInto(fs, tmp, new Path(path, s"block_$id.bin"))
         }
-        val os = fs.create(target, true)
-        try os.write(bb.array()) finally os.close()
         n += 1
       }
       override def commit(): WriterCommitMessage = BlockCommit(staged.toList)
