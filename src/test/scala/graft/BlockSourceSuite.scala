@@ -121,6 +121,44 @@ class BlockSourceSuite extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("continuous incrementation: blocks stream in → map → exactly-once blocks out") {
+    // The reference's block incrementation pipeline as ONE continuous
+    // query over the custom connector on BOTH ends: micro-batch tail of
+    // an input volume, element-wise payload map, exactly-once staged
+    // commit into an output volume. Data lands incrementally; the final
+    // output volume must equal the batch formulation bit-for-bit.
+    val inDir = java.nio.file.Files.createTempDirectory("graft_blk_pin").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_blk_pout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_blk_pck").toString
+    def land(lo: Int, hi: Int): Unit =
+      blocks.where(col("block_id") >= lo && col("block_id") < hi)
+        .write.format("graft-blocks").option("path", inDir)
+        .mode("append").save()
+    land(0, 32)
+    val q = spark.readStream.format("graft-blocks")
+      .option("path", inDir).option("splits", 4).load()
+      .withColumn("payload",
+        expr("transform(payload, x -> x + CAST(1.0 AS FLOAT))"))
+      .writeStream.format("graft-blocks").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      land(32, 64) // volume keeps growing mid-query
+      q.processAllAvailable()
+    } finally q.stop()
+    def sums(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("block_id"),
+        expr("aggregate(payload, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))")
+          .as("s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val streamed = spark.read.format("graft-blocks").option("path", outDir).load()
+    val batch = spark.read.format("graft-blocks").option("path", inDir).load()
+      .withColumn("payload",
+        expr("transform(payload, x -> x + CAST(1.0 AS FLOAT))"))
+    assert(streamed.count() == 64)
+    assert(sums(streamed) == sums(batch))
+  }
+
   test("corrupt block file fails with a diagnostic, not garbage rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_blk_bad").toString
     java.nio.file.Files.write(
