@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -138,7 +138,8 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BlockScanBuilder(blocks, blockLen, splits, path)
+    new BlockScanBuilder(blocks, blockLen, splits, path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = path.getOrElse(throw new IllegalArgumentException(
       "graft-blocks write requires a 'path' option"))
@@ -147,17 +148,18 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
 }
 
 private class BlockScanBuilder(blocks: Int, blockLen: Int, splits: Int,
-    path: Option[String])
+    path: Option[String], maxFilesPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = BlockSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new BlockScan(blocks, blockLen, splits, path, required)
+    new BlockScan(blocks, blockLen, splits, path, required, maxFilesPerTrigger)
 }
 
 private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
-    path: Option[String], required: StructType) extends Scan with Batch {
+    path: Option[String], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -192,7 +194,8 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     path match {
       case Some(p) =>
-        new BlockMicroBatchStream(p, splits, required, checkpointLocation)
+        new BlockMicroBatchStream(p, splits, required, checkpointLocation,
+          maxFilesPerTrigger)
       case None => throw new UnsupportedOperationException(
         "graft-blocks streaming read requires a 'path' option")
     }
@@ -208,7 +211,9 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
   * exactly-once streaming sink: its commit renames blocks into place
   * atomically, so a discovered file is always complete. */
 private class BlockMicroBatchStream(path: String, splits: Int,
-    required: StructType, ckptDir: String) extends MicroBatchStream {
+    required: StructType, ckptDir: String,
+    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream
+    with SupportsAdmissionControl {
 
   private case class IdxOffset(idx: Long) extends Offset {
     override def json(): String = idx.toString
@@ -245,7 +250,7 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     BlockWrites.renameInto(ckptFs, tmp, logPath)
   }
 
-  override def latestOffset(): Offset = {
+  private def refresh(): Unit = {
     val files = Option(fs.globStatus(new Path(new Path(path), "block_*.bin")))
       .getOrElse(Array.empty)
       .map(st => (st.getPath.toString, st.getLen))
@@ -256,8 +261,29 @@ private class BlockMicroBatchStream(path: String, splits: Int,
       seen ++= fresh.map(_._1)
       persist()
     }
-    IdxOffset(assigned.length.toLong)
   }
+
+  override def latestOffset(): Offset = { refresh(); IdxOffset(assigned.length.toLong) }
+
+  // ---- admission control: bound each micro-batch so a first start over a
+  // huge existing volume (or a burst of arrivals) never plans one
+  // batch containing the whole backlog — the property that makes tailing
+  // a 100 TB volume tractable. maxFilesPerTrigger caps files per batch;
+  // the remainder stays pending and later triggers drain it.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    refresh()
+    val s = start.asInstanceOf[IdxOffset].idx
+    limit match {
+      case mf: ReadMaxFiles =>
+        IdxOffset(math.min(assigned.length.toLong, s + mf.maxFiles()))
+      case _ => IdxOffset(assigned.length.toLong)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = IdxOffset(assigned.length.toLong)
 
   override def initialOffset(): Offset = IdxOffset(0L)
   override def deserializeOffset(json: String): Offset = IdxOffset(json.toLong)

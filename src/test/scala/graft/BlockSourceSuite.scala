@@ -121,6 +121,30 @@ class BlockSourceSuite extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger bounds every micro-batch (backlog drains in slices)") {
+    // 12 pre-existing files + a cap of 5: the first start must NOT plan
+    // one batch with the whole backlog — triggers drain it as 5/5/2.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk_adm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_blk_adm_ck").toString
+    blocks.where(col("block_id") < 12)
+      .write.format("graft-blocks").option("path", dir)
+      .mode("append").save()
+    val sizes = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = spark.readStream.format("graft-blocks")
+      .option("path", dir).option("maxFilesPerTrigger", 5).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        if (n > 0) sizes.synchronized { sizes += n }; ()
+      }
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = sizes.synchronized(sizes.toList)
+    assert(got.sum == 12, s"batches: $got")
+    assert(got.forall(_ <= 5), s"a batch exceeded the cap: $got")
+    assert(got == List(5L, 5L, 2L), s"expected 5/5/2 drain, got $got")
+  }
+
   test("continuous incrementation: blocks stream in → map → exactly-once blocks out") {
     // The reference's block incrementation pipeline as ONE continuous
     // query over the custom connector on BOTH ends: micro-batch tail of
