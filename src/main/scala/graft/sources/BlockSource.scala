@@ -223,31 +223,47 @@ private class BlockMicroBatchStream(path: String, splits: Int,
   // the checkpoint may live on a DIFFERENT filesystem than the data path
   // (hdfs checkpoint over an object-store block dir) — resolve separately
   private val ckptFs = new Path(ckptDir).getFileSystem(BlockSource.hadoopConf())
-  private val logPath = new Path(ckptDir, "graft_blocks_seen.log")
+  // APPEND-ONLY SEGMENTED discovery log: each refresh that finds new files
+  // writes ONLY those entries as one numbered segment (tmp+rename; plain
+  // appends are unsupported on object stores). A monolithic rewrite would
+  // be O(total²) bytes over the life of a long tail; segments keep each
+  // persist proportional to what actually arrived. Restart replays the
+  // segments in numeric order, reproducing the exact discovery order.
+  private val logDir = new Path(ckptDir, "graft_blocks_seen")
   // ordered (file, length) discovery log + fast membership; loaded from
-  // the persisted log so restart offsets keep meaning
+  // the persisted segments so restart offsets keep meaning
   private val assigned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
   private val seen = scala.collection.mutable.HashSet.empty[String]
+  private var nextSeg = 0L
   locally {
-    if (ckptFs.exists(logPath)) {
-      val in = ckptFs.open(logPath)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).foreach { line =>
-          val i = line.lastIndexOf('\t')
-          val entry = (line.substring(0, i), line.substring(i + 1).toLong)
-          assigned += entry; seen += entry._1
-        }
-      finally in.close()
+    if (ckptFs.exists(logDir)) {
+      val segs = ckptFs.listStatus(logDir)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("seg_"))
+        .sortBy(_.getName)
+      segs.foreach { seg =>
+        val in = ckptFs.open(seg)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { line =>
+            val i = line.lastIndexOf('\t')
+            val entry = (line.substring(0, i), line.substring(i + 1).toLong)
+            assigned += entry; seen += entry._1
+          }
+        finally in.close()
+      }
+      segs.lastOption.foreach(p =>
+        nextSeg = p.getName.stripPrefix("seg_").toLong + 1)
     }
   }
 
-  private def persist(): Unit = {
-    val tmp = new Path(ckptDir, ".graft_blocks_seen.log.tmp")
+  private def persist(fresh: Seq[(String, Long)]): Unit = {
+    val tmp = new Path(logDir, f".seg_$nextSeg%09d.tmp")
     val os = ckptFs.create(tmp, true)
-    try os.write(assigned.map { case (f, n) => s"$f\t$n" }
+    try os.write(fresh.map { case (f, n) => s"$f\t$n" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally os.close()
-    BlockWrites.renameInto(ckptFs, tmp, logPath)
+    BlockWrites.renameInto(ckptFs, tmp, new Path(logDir, f"seg_$nextSeg%09d"))
+    nextSeg += 1
   }
 
   private def refresh(): Unit = {
@@ -257,9 +273,9 @@ private class BlockMicroBatchStream(path: String, splits: Int,
       .sortBy(_._1)
     val fresh = files.filterNot { case (f, _) => seen(f) }
     if (fresh.nonEmpty) {
+      persist(fresh.toSeq) // durable BEFORE visible in any offset
       assigned ++= fresh
       seen ++= fresh.map(_._1)
-      persist()
     }
   }
 
