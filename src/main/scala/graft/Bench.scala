@@ -112,12 +112,16 @@ object Bench {
     //                    3.1 s steady-state read→decode→reduce path)
     //   join_bucketed  — the write-once bucketed tables (r7: 2.5 s pass 1
     //                    vs 0.5 s steady-state zero-shuffle join)
+    //   dedup_mllsh    — MLlib MinHashLSH fit + approxSimilarityJoin
+    //                    classload/JIT (BENCH_r08 charged pass 1 19.8 s vs
+    //                    the 8–9 s steady-state fit+join itself)
     // The corpora are memoized per (applicationId, sfDir), so every TIMED
     // pass measures the declared read path — the steady-state shape a
     // deployed pipeline has, not the first-ever-run setup cost.
     if (names.nonEmpty) {
       val warm = "scan_parquet" +:
-        Seq("mm_pipeline", "join_bucketed").filter(w => names.exists(_._1 == w))
+        Seq("mm_pipeline", "join_bucketed", "dedup_mllsh")
+          .filter(w => names.exists(_._1 == w))
       for (w <- warm; q <- SparkEntry.queries.get(w))
         try q(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case NonFatal(_) => }

@@ -735,17 +735,20 @@ object Text {
         // (a, b, degree-of-a): contribution denominators travel with the
         // edge so the loop below is join(ranks)+agg only.
         val ed = edges.join(deg, "a").iterCheckpoint()
-        val nn = deg.agg(count(lit(1)).as("nv"))
-        var r = deg.crossJoin(nn).select(col("a").as("node"),
-          (lit(1.0) / col("nv").cast("double")).as("r"))
+        // |V| computed ONCE as a driver scalar (same class of driver action
+        // as kmeans_conv's convergence probe) and folded in as a literal:
+        // the former per-iteration crossJoin(nn) re-ran deg's groupBy
+        // shuffle 6× to produce the same 1-row count. 0.15/nv here and
+        // 0.15/CAST(nv AS DOUBLE) in the oracle are the same IEEE double
+        // division, so ranks stay bit-identical.
+        val nv = deg.count().toDouble
+        var r = deg.select(col("a").as("node"), lit(1.0 / nv).as("r"))
         for (_ <- 1 to 5) {
           r = ed.join(r, col("node") === col("a"))
             .groupBy("b")
             .agg(dsum(col("r") / col("degree")).as("m"))
-            .crossJoin(nn)
             .select(col("b").as("node"),
-              (lit(0.15) / col("nv").cast("double") +
-                lit(0.85) * col("m")).as("r"))
+              (lit(0.15 / nv) + lit(0.85) * col("m")).as("r"))
             .iterCheckpoint()
         }
         r.select(col("node").as("doc_id"), col("r").as("pagerank"))

@@ -62,6 +62,37 @@ class MLSuite extends SparkSpec {
     assert(self.count() == 500) // every doc matches itself at distance 0
   }
 
+  test("dedup_mllsh's 2-table fit emits the same pair set as 4 tables") {
+    // Guards the round-9 cost cut (ML.scala dedup_mllsh, 4 → 2 hash
+    // tables): the shipped cheap fit must not lose recall vs the reference
+    // fit. Measured identical at sf0.01 (25 pairs) and sf0.1 (256); this
+    // pins sf0.01 so a future threshold/shingle/table edit that silently
+    // drops pairs goes red here.
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .where(size(col("tokens")) >= 3)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, size(tokens) - 2),
+             i -> concat_ws(' ', tokens[i-1], tokens[i], tokens[i+1]))"""
+      ).as("shingles"))
+    val featured = new HashingTF().setInputCol("shingles")
+      .setOutputCol("tf").setNumFeatures(1 << 16).transform(docs).cache()
+    def pairSet(nt: Int): Set[(Long, Long)] = {
+      val model = new MinHashLSH().setNumHashTables(nt).setSeed(42L)
+        .setInputCol("tf").setOutputCol("mh").fit(featured)
+      model.approxSimilarityJoin(featured, featured, 0.3, "dist")
+        .select(col("datasetA.doc_id").as("ia"),
+          col("datasetB.doc_id").as("ib"))
+        .where(col("ia") < col("ib"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val ref = pairSet(4)
+    val shipped = pairSet(2)
+    assert(ref.nonEmpty && shipped == ref)
+    featured.unpersist()
+  }
+
   test("Tokenizer→HashingTF→IDF→KMeans pipeline runs end-to-end") {
     val pipe = new Pipeline().setStages(Array(
       new Tokenizer().setInputCol("text").setOutputCol("words"),
