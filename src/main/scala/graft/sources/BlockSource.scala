@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -109,6 +110,23 @@ object BlockSource {
     * driver. Call sites are all driver-side (plan/build time). */
   private[sources] def hadoopConf(): Configuration =
     SparkSession.active.sessionState.newHadoopConf()
+
+  /** Positive-int option parse that names the option in its error — a bare
+    * .toInt surfaced opaque NumberFormatExceptions, and a zero/negative
+    * cap would stall a stream (round-8 ADVICE). */
+  private[sources] def posInt(options: CaseInsensitiveStringMap,
+      name: String): Option[Int] =
+    Option(options.get(name)).map { v =>
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft-blocks: $name must be a positive integer, got '$v'")
+        }
+      if (n <= 0) throw new IllegalArgumentException(
+        s"graft-blocks: $name must be > 0, got $n")
+      n
+    }
 }
 
 /** Minimal serializable Hadoop-conf carrier (the task-side half of the
@@ -139,7 +157,8 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BlockScanBuilder(blocks, blockLen, splits, path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      BlockSource.posInt(options, "maxFilesPerTrigger"),
+      BlockSource.posInt(options, "logCompactThreshold").getOrElse(4096))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val p = path.getOrElse(throw new IllegalArgumentException(
       "graft-blocks write requires a 'path' option"))
@@ -148,32 +167,44 @@ private class BlockTable(blocks: Int, blockLen: Int, splits: Int,
 }
 
 private class BlockScanBuilder(blocks: Int, blockLen: Int, splits: Int,
-    path: Option[String], maxFilesPerTrigger: Option[Int])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    path: Option[String], maxFilesPerTrigger: Option[Int],
+    logCompactThreshold: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var required: StructType = BlockSource.schema
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  // One row per block/file, planned from a driver-side listing: truncating
+  // the plan to the first `n` blocks yields EXACTLY n rows, so the limit is
+  // fully absorbed (isPartiallyPushed = false drops the query-side Limit) —
+  // a tail probe over a 100 TB volume opens `n` files, not all of them.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = false
   override def build(): Scan =
-    new BlockScan(blocks, blockLen, splits, path, required, maxFilesPerTrigger)
+    new BlockScan(blocks, blockLen, splits, path, required, maxFilesPerTrigger,
+      logCompactThreshold, limit)
 }
 
 private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
     path: Option[String], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch {
+    maxFilesPerTrigger: Option[Int] = None,
+    logCompactThreshold: Int = 4096,
+    limit: Option[Int] = None) extends Scan with Batch
+    with SupportsReportStatistics with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-blocks pruned=[${required.fieldNames.mkString(",")}]" +
+      limit.map(n => s" pushedLimit=$n").getOrElse("") +
       path.map(p => s" path=$p").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = path match {
-    case None =>
-      val per = math.max(1, math.ceil(blocks.toDouble / splits).toInt)
-      (0 until blocks by per)
-        .map(start => BlockRange(start, math.min(blocks, start + per)))
-        .toArray[InputPartition]
+  /** Driver-side listing, shared by planning and statistics (one RPC
+    * round, memoized — planInputPartitions and estimateStatistics both
+    * need it). Already truncated to the pushed limit. */
+  private lazy val fileList: Array[(String, Long)] = path match {
+    case None => Array.empty
     case Some(p) =>
-      // driver lists metadata only; rows are produced executor-side
       val dir = new Path(p)
       val fs = dir.getFileSystem(BlockSource.hadoopConf())
       if (!fs.exists(dir)) throw new IllegalArgumentException(
@@ -184,9 +215,82 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
         .getOrElse(Array.empty)
         .map(st => (st.getPath.toString, st.getLen))
         .sortBy(_._1)
-      val per = math.max(1, math.ceil(files.length.toDouble / splits).toInt)
-      files.grouped(per).map(g => BlockFiles(g.toSeq)).toArray[InputPartition]
+      limit.map(files.take).getOrElse(files)
   }
+
+  private def effBlocks: Int = limit.map(math.min(blocks, _)).getOrElse(blocks)
+
+  override def planInputPartitions(): Array[InputPartition] = path match {
+    case None =>
+      val n = effBlocks
+      val per = math.max(1, math.ceil(n.toDouble / splits).toInt)
+      if (per == 1)
+        // one block per split → each partition carries its block_id as a
+        // key-grouped partition key (see outputPartitioning)
+        (0 until n).map(id => KeyedBlockRange(id)).toArray[InputPartition]
+      else
+        (0 until n by per)
+          .map(start => BlockRange(start, math.min(n, start + per)))
+          .toArray[InputPartition]
+    case Some(_) =>
+      // driver lists metadata only; rows are produced executor-side
+      val files = fileList
+      val per = math.max(1, math.ceil(files.length.toDouble / splits).toInt)
+      if (per == 1)
+        files.flatMap { case (f, len) => f match {
+          case BlockScan.BlockName(id) =>
+            Some(KeyedBlockFile(f, len, id.toLong): InputPartition)
+          case _ => Some(BlockFiles(Seq((f, len))): InputPartition)
+        }}
+      else
+        files.grouped(per).map(g => BlockFiles(g.toSeq)).toArray[InputPartition]
+  }
+
+  /** Exact row count and payload-aware byte size from metadata alone: the
+    * synthetic grid is closed-form; the file listing carries lengths. With
+    * honest sizes a small volume joins as the BROADCAST side instead of
+    * inheriting the DSv2 default (max-long → always shuffle). Pruning the
+    * payload shrinks the estimate to header bytes — column-pruned
+    * metadata probes stay under the broadcast threshold even when the
+    * volume's payloads are TBs. */
+  override def estimateStatistics(): Statistics = {
+    val payloadKept = required.fieldNames.contains("payload")
+    val (rows, bytes) = path match {
+      case None =>
+        val n = effBlocks.toLong
+        (n, n * (if (payloadKept) BlockSource.HeaderLen + 4L * blockLen
+                 else BlockSource.HeaderLen.toLong))
+      case Some(_) =>
+        (fileList.length.toLong,
+          if (payloadKept) fileList.map(_._2).sum
+          else fileList.length.toLong * BlockSource.HeaderLen)
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** When the plan degenerates to one block per partition (splits >= n),
+    * report KeyGroupedPartitioning on block_id: two volumes read this way
+    * join on block_id with ZERO exchange on either side (storage-
+    * partitioned join, `spark.sql.sources.v2.bucketing.enabled`), and a
+    * groupBy(block_id) needs no shuffle — the layout the reference's
+    * block-parallel volume pipelines rely on. Coarser plans (and plans
+    * that pruned block_id away, which Spark could not resolve the key
+    * against) report unknown. */
+  override def outputPartitioning(): Partitioning = {
+    lazy val parts = planInputPartitions()
+    if (required.fieldNames.contains("block_id") &&
+        parts.nonEmpty && parts.forall(_.isInstanceOf[HasPartitionKey]))
+      new KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("block_id")), parts.length)
+    else new UnknownPartitioning(parts.length)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new BlockReaderFactory(blockLen, path.isDefined, required,
       new SerializableHadoopConf(BlockSource.hadoopConf()))
@@ -195,10 +299,14 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
     path match {
       case Some(p) =>
         new BlockMicroBatchStream(p, splits, required, checkpointLocation,
-          maxFilesPerTrigger)
+          maxFilesPerTrigger, logCompactThreshold)
       case None => throw new UnsupportedOperationException(
         "graft-blocks streaming read requires a 'path' option")
     }
+}
+
+private object BlockScan {
+  val BlockName = """.*block_(\d+)\.bin$""".r
 }
 
 /** Micro-batch READ: tails a block directory, emitting each `block_*.bin`
@@ -212,7 +320,8 @@ private class BlockScan(blocks: Int, blockLen: Int, splits: Int,
   * atomically, so a discovered file is always complete. */
 private class BlockMicroBatchStream(path: String, splits: Int,
     required: StructType, ckptDir: String,
-    maxFilesPerTrigger: Option[Int]) extends MicroBatchStream
+    maxFilesPerTrigger: Option[Int],
+    logCompactThreshold: Int = 4096) extends MicroBatchStream
     with SupportsAdmissionControl {
 
   private case class IdxOffset(idx: Long) extends Offset {
@@ -229,13 +338,37 @@ private class BlockMicroBatchStream(path: String, splits: Int,
   // be O(total²) bytes over the life of a long tail; segments keep each
   // persist proportional to what actually arrived. Restart replays the
   // segments in numeric order, reproducing the exact discovery order.
+  //
+  // COMPACTION (round-8 ADVICE: the tail of a long-running 100 TB volume
+  // must not pay O(total-files) driver memory and restart replay): once
+  // commit(end) has retired logCompactThreshold entries, everything below
+  // the committed offset is folded into ONE `compact` membership file
+  // (names only — those indexes can never be planned again, so lengths
+  // are dropped), the uncommitted tail is rewritten as a single fresh
+  // segment, and the old segments are deleted. `assigned` then holds just
+  // the uncommitted tail; only `seen` (pure names, needed to recognize
+  // already-ingested files in the directory glob) stays O(total). Every
+  // load DEDUPES against `seen`, which makes each crash window between
+  // those three steps replay-safe (a file can appear in both `compact`
+  // and a not-yet-deleted segment).
   private val logDir = new Path(ckptDir, "graft_blocks_seen")
-  // ordered (file, length) discovery log + fast membership; loaded from
-  // the persisted segments so restart offsets keep meaning
+  private val compactFile = new Path(logDir, "compact")
+  // ordered (file, length) discovery log for entries >= base, + full
+  // membership; loaded from the persisted log so restart offsets keep
+  // meaning
   private val assigned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
   private val seen = scala.collection.mutable.HashSet.empty[String]
+  private var base = 0L      // entries retired into `compact`
+  private var committed = 0L // highest offset commit(end) has sealed
   private var nextSeg = 0L
   locally {
+    if (ckptFs.exists(compactFile)) {
+      val in = ckptFs.open(compactFile)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).foreach { name => seen += name; base += 1 }
+      finally in.close()
+      committed = base
+    }
     if (ckptFs.exists(logDir)) {
       val segs = ckptFs.listStatus(logDir)
         .map(_.getPath)
@@ -247,7 +380,7 @@ private class BlockMicroBatchStream(path: String, splits: Int,
           .filter(_.nonEmpty).foreach { line =>
             val i = line.lastIndexOf('\t')
             val entry = (line.substring(0, i), line.substring(i + 1).toLong)
-            assigned += entry; seen += entry._1
+            if (!seen(entry._1)) { assigned += entry; seen += entry._1 }
           }
         finally in.close()
       }
@@ -279,7 +412,8 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     }
   }
 
-  override def latestOffset(): Offset = { refresh(); IdxOffset(assigned.length.toLong) }
+  override def latestOffset(): Offset =
+    { refresh(); IdxOffset(base + assigned.length) }
 
   // ---- admission control: bound each micro-batch so a first start over a
   // huge existing volume (or a burst of arrivals) never plans one
@@ -294,20 +428,23 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     val s = start.asInstanceOf[IdxOffset].idx
     limit match {
       case mf: ReadMaxFiles =>
-        IdxOffset(math.min(assigned.length.toLong, s + mf.maxFiles()))
-      case _ => IdxOffset(assigned.length.toLong)
+        IdxOffset(math.min(base + assigned.length, s + mf.maxFiles()))
+      case _ => IdxOffset(base + assigned.length)
     }
   }
 
-  override def reportLatestOffset(): Offset = IdxOffset(assigned.length.toLong)
+  override def reportLatestOffset(): Offset = IdxOffset(base + assigned.length)
 
   override def initialOffset(): Offset = IdxOffset(0L)
   override def deserializeOffset(json: String): Offset = IdxOffset(json.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[IdxOffset].idx.toInt
-    val e = end.asInstanceOf[IdxOffset].idx.toInt
-    val slice = assigned.slice(s, e)
+    val s = start.asInstanceOf[IdxOffset].idx
+    val e = end.asInstanceOf[IdxOffset].idx
+    require(s >= base, // commit(end) only retires SEALED offsets, so any
+      // replayable batch's start is >= committed >= base by construction
+      s"graft-blocks: batch start $s precedes compacted base $base")
+    val slice = assigned.slice((s - base).toInt, (e - base).toInt)
     if (slice.isEmpty) Array.empty
     else {
       val per = math.max(1, math.ceil(slice.length.toDouble / splits).toInt)
@@ -319,19 +456,72 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     new BlockReaderFactory(0, fromFiles = true, required,
       new SerializableHadoopConf(BlockSource.hadoopConf()))
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark's contract: data up to `end` is durably committed in the query
+    * log and will never be re-planned — so retire it from the driver's
+    * ordered log once enough has accumulated (threshold amortizes the
+    * O(committed) compact rewrite over many batches). */
+  override def commit(end: Offset): Unit = {
+    committed = math.max(committed, end.asInstanceOf[IdxOffset].idx)
+    val k = (committed - base).toInt
+    if (k >= logCompactThreshold) {
+      // 1. fold the k retired names into `compact` (tmp + rename; stream
+      //    the old file through so compaction never holds it in memory)
+      val tmp = new Path(logDir, ".compact.tmp")
+      val os = ckptFs.create(tmp, true)
+      try {
+        if (ckptFs.exists(compactFile)) {
+          val in = ckptFs.open(compactFile)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 65536, false)
+          finally in.close()
+        }
+        os.write(assigned.take(k).map(_._1)
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+      } finally os.close()
+      BlockWrites.renameInto(ckptFs, tmp, compactFile)
+      // 2. rewrite the uncommitted tail as ONE fresh segment so the old
+      //    segments (now shadowed by `compact` + this segment) can go
+      val tail = assigned.drop(k)
+      if (tail.nonEmpty) persist(tail.toSeq)
+      val keep = if (tail.nonEmpty) Some(f"seg_${nextSeg - 1}%09d") else None
+      // 3. drop every older segment; load-time dedup covers a crash here
+      ckptFs.listStatus(logDir).map(_.getPath)
+        .filter(p => p.getName.startsWith("seg_") && !keep.contains(p.getName))
+        .foreach(p => ckptFs.delete(p, false))
+      assigned.remove(0, k)
+      base += k
+    }
+  }
   override def stop(): Unit = ()
 }
 
 private case class BlockRange(start: Int, end: Int) extends InputPartition
 private case class BlockFiles(files: Seq[(String, Long)]) extends InputPartition
 
+/** Single-block splits carrying their block_id as the key-grouped
+  * partition key (storage-partitioned joins; see outputPartitioning). */
+private case class KeyedBlockRange(id: Int) extends InputPartition
+    with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(id.toLong)
+}
+private case class KeyedBlockFile(file: String, len: Long, blockId: Long)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(blockId)
+}
+
 private class BlockReaderFactory(blockLen: Int, fromFiles: Boolean,
     required: StructType, conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    if (fromFiles) new FileBlockReader(p.asInstanceOf[BlockFiles], required, conf)
-    else new SyntheticBlockReader(p.asInstanceOf[BlockRange], blockLen, required)
+    p match {
+      case f: BlockFiles => new FileBlockReader(f, required, conf)
+      case f: KeyedBlockFile =>
+        new FileBlockReader(BlockFiles(Seq((f.file, f.len))), required, conf)
+      case r: BlockRange => new SyntheticBlockReader(r, blockLen, required)
+      case r: KeyedBlockRange =>
+        new SyntheticBlockReader(BlockRange(r.id, r.id + 1), blockLen, required)
+      case other => throw new IllegalStateException(
+        s"graft-blocks: unexpected partition type $other")
+    }
 }
 
 private class SyntheticBlockReader(r: BlockRange, blockLen: Int,
@@ -437,11 +627,28 @@ private object BlockWrites {
     ()
   }
 
-  /** Atomic-visibility rename: delete any existing target (idempotent
-    * replays), then require the rename to succeed. */
+  /** Atomic-visibility rename. When the target already exists with the
+    * SOURCE's length it is a replay of an already-completed rename
+    * (content is deterministic per replay on every call path: staged
+    * epoch blocks, commit manifests, discovery-log segments), so keep the
+    * visible file and drop the source — a delete-then-rename here would
+    * briefly un-expose a block a concurrent tailing reader has already
+    * logged (round-8 ADVICE: the transient-FNF window). Only a
+    * LENGTH-MISMATCHED leftover (a torn write from a pre-tmp-era crash)
+    * is deleted and replaced. */
   def renameInto(fs: FileSystem, from: Path, to: Path): Unit = {
-    if (fs.exists(to)) fs.delete(to, false)
-    require(fs.rename(from, to), s"graft-blocks: rename $from -> $to failed")
+    val existing =
+      try Some(fs.getFileStatus(to).getLen)
+      catch { case _: java.io.FileNotFoundException => None }
+    existing match {
+      case Some(len) if len == fs.getFileStatus(from).getLen =>
+        fs.delete(from, false)
+      case other =>
+        if (other.isDefined) fs.delete(to, false)
+        require(fs.rename(from, to),
+          s"graft-blocks: rename $from -> $to failed")
+    }
+    ()
   }
 }
 

@@ -474,32 +474,56 @@ class TypeCountProcessor
   * per contributing document (doc_id → occurrence count). Each batch
   * point-updates only the touched entries — at 100 TB that is an O(docs
   * touched) update against a per-span inventory, not a whole-aggregate
-  * blob rewrite — then re-emits the key's full current accounting so
-  * downstream sees the CORRECTED dfreq for earlier documents once a later
-  * one duplicates their span (the retroactive df >= 2 rule keep-first
-  * emission cannot express). dfreq = map entry count = distinct docs, the
-  * exact batch countDistinct. Pathological stop-span keys (df in the
-  * millions) would carry a TTL/cap in a deployed scrubber; the declared
-  * semantics here match the batch query, which has no cap either. */
+  * blob rewrite.
+  *
+  * EMISSION is O(touched) too, not O(df) (round-8 ADVICE: re-emitting the
+  * whole map per touch is quadratic output over a stop-span's lifetime):
+  * each batch emits only the entries it changed, at the key's CURRENT df —
+  * except the one batch where df first crosses 2, which re-emits the full
+  * inventory so the earlier documents get their retroactive correction
+  * (dedup_span's df >= 2 rule; keep-first emission cannot express it).
+  * That full sweep happens at most once per span key, ever. Downstream's
+  * contract is unchanged — max per (h, doc_id) of monotone n_occ/dfreq —
+  * because once an entry has been emitted with df >= 2 the dedup decision
+  * is latched; later df growth never flips it, so stale (but >= 2) dfreq
+  * on untouched entries is harmless. df itself is tracked incrementally in
+  * a ValueState (insert-time +1), so no batch pays an O(df) size scan. */
 class SpanDfProcessor
     extends StatefulProcessor[String, Streams.SpanOcc, Streams.SpanAcc] {
   @transient private var docs
       : org.apache.spark.sql.streaming.MapState[Long, Long] = _
+  @transient private var dfState: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     docs = getHandle.getMapState[Long, Long]("docs",
       Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    dfState = getHandle.getValueState[Long]("df",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(h: String, rows: Iterator[Streams.SpanOcc],
       timers: TimerValues): Iterator[Streams.SpanAcc] = {
+    val dfBefore = if (dfState.exists) dfState.get else 0L
+    var df = dfBefore
+    // fold the batch locally first so each touched doc is written (and
+    // emitted) once with its final count, not once per occurrence
+    val touched = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
     rows.foreach { r =>
-      val cur =
-        if (docs.containsKey(r.doc_id)) docs.getValue(r.doc_id) else 0L
-      docs.updateValue(r.doc_id, cur + 1L)
+      val cur = touched.getOrElse(r.doc_id, {
+        if (docs.containsKey(r.doc_id)) docs.getValue(r.doc_id)
+        else { df += 1; 0L }
+      })
+      touched.update(r.doc_id, cur + 1L)
     }
-    val all = docs.iterator().toList
-    val df = all.length.toLong
-    all.map { case (doc, n) => Streams.SpanAcc(h, doc, n, df) }.iterator
+    touched.foreach { case (doc, n) => docs.updateValue(doc, n) }
+    dfState.update(df)
+    if (dfBefore < 2 && df >= 2)
+      docs.iterator().map { case (doc, n) => Streams.SpanAcc(h, doc, n, df) }
+        .toList.iterator
+    else
+      touched.iterator
+        .map { case (doc, n) => Streams.SpanAcc(h, doc, n, df) }
+        .toList.iterator
   }
 }
 
