@@ -23,19 +23,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.ts is physically TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-    * unless `spark.sql.legacy.parquet.nanosAsLong=true` (set by Sessions).
-    * DuckDB's read_parquet truncates the same column to µs TIMESTAMP, so we
-    * truncate the nanos long identically → exact oracle parity at µs.
+  /** events.ts has shipped in two physical parquet encodings across testdata
+    * vintages: TIMESTAMP(NANOS) — which Spark 4 only reads under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set by Sessions), surfacing
+    * as a BIGINT of epoch nanos — and plain timestamp[us], which surfaces as
+    * TIMESTAMP_NTZ (NTZ inference on). Dispatch on the type actually read so
+    * both vintages work: nanos are truncated to µs exactly like DuckDB's
+    * read_parquet does, µs passes through → exact oracle parity either way.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df =
-      if (name == "events")
+      if (name == "events") {
         // NTZ (naive) like every other timestamp column here — DuckDB's
         // TIMESTAMP is naive, and session TZ is UTC on both engines.
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
-      else raw
+        val ts = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => // nanosAsLong vintage
+            expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+          case _ => // timestamp[us] vintage (NTZ or LTZ; UTC ⇒ value-preserving)
+            col("ts").cast("timestamp_ntz")
+        }
+        raw.withColumn("ts", ts)
+      } else raw
     // Normalize any remaining LTZ timestamp (Spark reads the ms-precision
     // naive parquet columns as LTZ) to NTZ — value-preserving under UTC.
     df.schema.fields.foldLeft(df) { (acc, f) =>

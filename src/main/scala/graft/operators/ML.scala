@@ -244,8 +244,17 @@ object ML {
         // output pair set at both sf0.01 (25 pairs) and sf0.1 (256 pairs) —
         // the exact-distance filter keeps precision, and recall holds
         // because true near-dups (dist <= 0.3) collide in >= 1 of 2 bands.
-        // 1 table loses pairs (24/25). Halves minhash evaluation + explode
-        // width. MLSuite pins set equality vs the 4-table reference fit.
+        // Band probability (each MLlib hash table = ONE minhash row, and a
+        // pair is a candidate iff ANY table collides): P(collide) = s per
+        // table where s = Jaccard similarity, so P(candidate) = 1-(1-s)^2
+        // >= 1-(1-0.7)^2 = 0.91 at the dist=0.3 boundary, and -> 1 fast for
+        // closer pairs (s=0.8 -> 0.96, s=0.9 -> 0.99). The corpus's actual
+        // near-dup pairs sit well inside the boundary, which is why the
+        // EMPIRICAL recall is 1.0 (pair-set equality, MLSuite) while the
+        // worst-case bound is 0.91; RowsOnlyInvariantSuite enforces a 0.9
+        // recall floor vs brute-force ground truth every run.
+        // 1 table loses pairs (24/25: P(candidate) = s, 0.7 at boundary).
+        // Halves minhash evaluation + explode width.
         val model = new MinHashLSH().setNumHashTables(2).setSeed(42L)
           .setInputCol("tf").setOutputCol("mh").fit(featured)
         model.approxSimilarityJoin(featured, featured, 0.3, "dist")

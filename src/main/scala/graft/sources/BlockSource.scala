@@ -342,32 +342,59 @@ private class BlockMicroBatchStream(path: String, splits: Int,
   // COMPACTION (round-8 ADVICE: the tail of a long-running 100 TB volume
   // must not pay O(total-files) driver memory and restart replay): once
   // commit(end) has retired logCompactThreshold entries, everything below
-  // the committed offset is folded into ONE `compact` membership file
-  // (names only — those indexes can never be planned again, so lengths
-  // are dropped), the uncommitted tail is rewritten as a single fresh
-  // segment, and the old segments are deleted. `assigned` then holds just
-  // the uncommitted tail; only `seen` (pure names, needed to recognize
-  // already-ingested files in the directory glob) stays O(total). Every
-  // load DEDUPES against `seen`, which makes each crash window between
-  // those three steps replay-safe (a file can appear in both `compact`
-  // and a not-yet-deleted segment).
+  // the committed offset is folded into a fresh MONOTONICALLY NUMBERED
+  // `compact_<n>` membership file (names only — those indexes can never be
+  // planned again, so lengths are dropped), the uncommitted tail is
+  // rewritten as a single fresh segment, the old segments are deleted, and
+  // only THEN are older compact generations GC'd. Writing each generation
+  // tmp+rename to a never-existing name (round-9 ADVICE high: the previous
+  // scheme rewrote ONE `compact` file in place via delete-then-rename — a
+  // crash between the delete and the rename left NO membership file, so
+  // after segment GC a restart re-ingested already-committed files) means
+  // a complete generation is durable at every instant once one has ever
+  // been written: restart loads the highest-numbered one. `assigned` then
+  // holds just the uncommitted tail; only `seen` (pure names, needed to
+  // recognize already-ingested files in the directory glob) stays
+  // O(total). Every load DEDUPES against `seen`, which makes each crash
+  // window between those steps replay-safe (a file can appear in both a
+  // compact generation and a not-yet-deleted segment).
   private val logDir = new Path(ckptDir, "graft_blocks_seen")
-  private val compactFile = new Path(logDir, "compact")
+  // legacy single-file name from the pre-generation scheme, still loaded
+  // (as the oldest generation) so existing checkpoints upgrade in place
+  private def isCompactName(n: String): Boolean =
+    n == "compact" || n.startsWith("compact_")
   // ordered (file, length) discovery log for entries >= base, + full
   // membership; loaded from the persisted log so restart offsets keep
   // meaning
   private val assigned = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
   private val seen = scala.collection.mutable.HashSet.empty[String]
-  private var base = 0L      // entries retired into `compact`
+  private var base = 0L      // entries retired into the compact generation
   private var committed = 0L // highest offset commit(end) has sealed
   private var nextSeg = 0L
+  private var nextCompact = 0L
+  private var currentCompact: Option[Path] = None
   locally {
-    if (ckptFs.exists(compactFile)) {
-      val in = ckptFs.open(compactFile)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).foreach { name => seen += name; base += 1 }
-      finally in.close()
-      committed = base
+    if (ckptFs.exists(logDir)) {
+      // "compact" (legacy) sorts before every "compact_<n>" (strict prefix),
+      // and the zero-padded numbering sorts numerically — last is newest
+      val compacts = ckptFs.listStatus(logDir).map(_.getPath)
+        .filter(p => isCompactName(p.getName)).sortBy(_.getName)
+      compacts.lastOption.foreach { newest =>
+        val in = ckptFs.open(newest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { name => seen += name; base += 1 }
+        finally in.close()
+        committed = base
+        currentCompact = Some(newest)
+        nextCompact = newest.getName match {
+          case s if s.startsWith("compact_") =>
+            s.stripPrefix("compact_").toLong + 1
+          case _ => 0L
+        }
+        // older generations are fully shadowed by the newest (each folds in
+        // its predecessor) — GC whatever a crashed compaction left behind
+        compacts.init.foreach(p => ckptFs.delete(p, false))
+      }
     }
     if (ckptFs.exists(logDir)) {
       val segs = ckptFs.listStatus(logDir)
@@ -395,7 +422,7 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     try os.write(fresh.map { case (f, n) => s"$f\t$n" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally os.close()
-    BlockWrites.renameInto(ckptFs, tmp, new Path(logDir, f"seg_$nextSeg%09d"))
+    BlockWrites.renameIntoLog(ckptFs, tmp, new Path(logDir, f"seg_$nextSeg%09d"))
     nextSeg += 1
   }
 
@@ -464,29 +491,42 @@ private class BlockMicroBatchStream(path: String, splits: Int,
     committed = math.max(committed, end.asInstanceOf[IdxOffset].idx)
     val k = (committed - base).toInt
     if (k >= logCompactThreshold) {
-      // 1. fold the k retired names into `compact` (tmp + rename; stream
+      // 1. fold the previous generation + the k retired names into a FRESH
+      //    numbered generation (tmp + rename to a never-existing name, so
+      //    the predecessor stays durable until this one is visible; stream
       //    the old file through so compaction never holds it in memory)
-      val tmp = new Path(logDir, ".compact.tmp")
+      val genName = f"compact_$nextCompact%09d"
+      val gen = new Path(logDir, genName)
+      val tmp = new Path(logDir, s".$genName.tmp")
       val os = ckptFs.create(tmp, true)
       try {
-        if (ckptFs.exists(compactFile)) {
-          val in = ckptFs.open(compactFile)
+        currentCompact.foreach { prev =>
+          val in = ckptFs.open(prev)
           try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 65536, false)
           finally in.close()
         }
         os.write(assigned.take(k).map(_._1)
           .mkString("", "\n", "\n").getBytes("UTF-8"))
       } finally os.close()
-      BlockWrites.renameInto(ckptFs, tmp, compactFile)
+      BlockWrites.renameIntoLog(ckptFs, tmp, gen)
       // 2. rewrite the uncommitted tail as ONE fresh segment so the old
-      //    segments (now shadowed by `compact` + this segment) can go
+      //    segments (now shadowed by the generation + this segment) can go
       val tail = assigned.drop(k)
       if (tail.nonEmpty) persist(tail.toSeq)
       val keep = if (tail.nonEmpty) Some(f"seg_${nextSeg - 1}%09d") else None
       // 3. drop every older segment; load-time dedup covers a crash here
+      // 4. drop older compact generations — only now that the new one is
+      //    durable (a crash anywhere above leaves the predecessor intact
+      //    and restart loads the highest complete generation)
       ckptFs.listStatus(logDir).map(_.getPath)
-        .filter(p => p.getName.startsWith("seg_") && !keep.contains(p.getName))
+        .filter { p =>
+          val n = p.getName
+          (n.startsWith("seg_") && !keep.contains(n)) ||
+            (isCompactName(n) && n != genName)
+        }
         .foreach(p => ckptFs.delete(p, false))
+      currentCompact = Some(gen)
+      nextCompact += 1
       assigned.remove(0, k)
       base += k
     }
@@ -627,16 +667,18 @@ private object BlockWrites {
     ()
   }
 
-  /** Atomic-visibility rename. When the target already exists with the
-    * SOURCE's length it is a replay of an already-completed rename
-    * (content is deterministic per replay on every call path: staged
-    * epoch blocks, commit manifests, discovery-log segments), so keep the
-    * visible file and drop the source — a delete-then-rename here would
-    * briefly un-expose a block a concurrent tailing reader has already
-    * logged (round-8 ADVICE: the transient-FNF window). Only a
-    * LENGTH-MISMATCHED leftover (a torn write from a pre-tmp-era crash)
-    * is deleted and replaced. */
-  def renameInto(fs: FileSystem, from: Path, to: Path): Unit = {
+  /** Atomic-visibility rename for CHECKPOINT-LOG files only (discovery-log
+    * segments, compact generations, commit manifests). On these call sites
+    * content is deterministic per replay, so a target that already exists
+    * with the SOURCE's length is a replay of an already-completed rename:
+    * keep the visible file and drop the source — a delete-then-rename here
+    * would briefly un-expose a file a concurrent reader has already logged
+    * (round-8 ADVICE: the transient-FNF window). Only a LENGTH-MISMATCHED
+    * leftover (a torn write from a pre-tmp-era crash) is deleted and
+    * replaced. NEVER use this for data blocks: block length is fully
+    * determined by blockLen, so same-length does NOT imply same content
+    * there — see [[renameIntoData]] (round-9 ADVICE medium). */
+  def renameIntoLog(fs: FileSystem, from: Path, to: Path): Unit = {
     val existing =
       try Some(fs.getFileStatus(to).getLen)
       catch { case _: java.io.FileNotFoundException => None }
@@ -647,6 +689,24 @@ private object BlockWrites {
         if (other.isDefined) fs.delete(to, false)
         require(fs.rename(from, to),
           s"graft-blocks: rename $from -> $to failed")
+    }
+    ()
+  }
+
+  /** Data-block rename: the NEW bytes must always win. A same-length target
+    * may be a genuine rewrite of an existing block_id (every block of a
+    * given volume has the same blockLen-determined size), so the keep-
+    * existing shortcut above would silently drop updated content —
+    * first-write-wins, an overwrite bug. Plain rename first: on a
+    * POSIX-backed FileSystem it atomically replaces the target (no
+    * transient-FNF window for a tailing reader); only when the FS refuses
+    * an overwriting rename (HDFS-style semantics) fall back to
+    * delete-then-rename. */
+  def renameIntoData(fs: FileSystem, from: Path, to: Path): Unit = {
+    if (!fs.rename(from, to)) {
+      fs.delete(to, false)
+      require(fs.rename(from, to),
+        s"graft-blocks: rename $from -> $to failed")
     }
     ()
   }
@@ -703,7 +763,7 @@ private class BlockStreamingWrite(path: String, schema: StructType,
       staged.foreach { case (_, p) => fs.delete(new Path(p), false) }
     } else {
       staged.foreach { case (id, p) =>
-        BlockWrites.renameInto(fs, new Path(p), new Path(path, s"block_$id.bin"))
+        BlockWrites.renameIntoData(fs, new Path(p), new Path(path, s"block_$id.bin"))
       }
       // manifest write is the commit point: tmp + rename is atomic per
       // FileSystem contract, so a crash mid-commit leaves either no
@@ -714,7 +774,7 @@ private class BlockStreamingWrite(path: String, schema: StructType,
       try os.write(staged.map(_._1).sorted.mkString("", "\n", "\n")
         .getBytes("UTF-8"))
       finally os.close()
-      BlockWrites.renameInto(fs, tmp, manifest(epochId))
+      BlockWrites.renameIntoLog(fs, tmp, manifest(epochId))
     }
     sweepStaging(fs, epochId)
   }
@@ -787,7 +847,7 @@ private class BlockWriterFactory(path: String, schema: StructType,
             val tmp = new Path(path, s".block_$id.bin.p${partitionId}_t$taskId")
             val os = fs.create(tmp, true)
             try os.write(bb.array()) finally os.close()
-            BlockWrites.renameInto(fs, tmp, new Path(path, s"block_$id.bin"))
+            BlockWrites.renameIntoData(fs, tmp, new Path(path, s"block_$id.bin"))
         }
         n += 1
       }

@@ -24,13 +24,23 @@ object Streams {
 
   case class UserRunning(user_id: Long, n: Long, sum_value: Double)
 
-  /** File-source stream over an events-shaped directory. */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** File-source stream over an events-shaped directory. The physical ts
+    * encoding has shipped in two vintages (TIMESTAMP(NANOS)-as-BIGINT
+    * under nanosAsLong, and plain timestamp[us] — same dispatch as
+    * `Tables.t`), and a streaming source needs a declared schema — so peek
+    * at the batch-read schema (driver-side, one footer) and dispatch.
+    * Either way ts lands as LTZ TIMESTAMP: watermarks reject NTZ, and the
+    * session TZ is UTC so the cast is value-preserving. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
+    val base = spark.readStream.schema(physical).parquet(dir)
+    physical("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        base.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        base.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Tumbling 1-hour counts/sums with a 6-hour watermark — identical
     * expression tree to the batch `ts_tumbling`. */
@@ -162,7 +172,19 @@ object Streams {
     * re-emits the touched key's full corrected accounting in Update mode;
     * `n_occ` and `dfreq` are monotone, making the final truth
     * max-per-(h, doc_id) downstream (StreamingDedupSuite proves equality
-    * with batch dedup_span over the same corpus). */
+    * with batch dedup_span over the same corpus).
+    *
+    * CONSUMER CONTRACT (narrower than "latest dfreq everywhere", round-9
+    * ADVICE): per-entry emission is O(touched), so an entry that was not
+    * touched in a batch is NOT re-emitted when its span's df later grows —
+    * its max-per-(h, doc_id) dfreq can lag the span's final df. What IS
+    * guaranteed, and what dedup_span's rule needs, is the df >= 2
+    * THRESHOLD: the one batch where a span's df first crosses 2 re-emits
+    * the full inventory, so every contributing doc_id observes dfreq >= 2
+    * exactly when the span becomes a duplicate span. Downstream must
+    * therefore branch on `dfreq >= 2` (latched, correct), never on the
+    * numeric dfreq being current. See [[SpanDfProcessor]] for the state
+    * layout that makes this O(touched). */
   def spanAccounting(docs: DataFrame): Dataset[SpanAcc] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), split(col("text"), " ").as("tk"))

@@ -77,16 +77,27 @@ class StreamingRecoverySuite extends SparkSpec {
       val echo = docs.where(col("doc_id") < 100)
         .withColumn("doc_id", col("doc_id") + 10000)
       echo.coalesce(1).write.mode("append").parquet(dir)
-      buf.synchronized(buf.clear()) // keep ONLY what the restarted run emits
+      // keep phase 1's emissions but remember the boundary: the processor's
+      // contract is max-per-(h, doc_id) over the WHOLE stream — a span
+      // whose df already reached 2 in phase 1 does NOT re-emit its
+      // untouched entries after the echo (O(touched) emission; the
+      // retroactive full-inventory sweep fires only on the df 1→2 cross)
+      val phase1 = buf.synchronized { val v = buf.toVector; buf.clear(); v }
       val q2 = start()
       q2.processAllAvailable()
       try {
-        // phase 2 re-emits the FULL corrected map of every touched span
-        // key (all spans of docs < 100), so the restarted run alone
-        // carries complete accounting for originals + echoes — equal to
-        // the batch dedup_span over the union corpus, restricted to them
+        val phase2 = buf.synchronized(buf.toVector)
+        // restart-recovery evidence: the corrections phase 2 emits for
+        // PHASE-1 docs (dfreq >= 2 retroactive sweeps, n_occ inventories)
+        // exist only if the MapState survived the checkpoint restart — a
+        // lost store would re-count df from 1 and emit echo entries only
+        assert(phase2.exists(a => a.doc_id < 100 && a.dfreq >= 2),
+          "restarted run emitted no retroactive correction for phase-1 docs")
+        // phase1 ∪ phase2 max-merge = the downstream truth, equal to the
+        // batch dedup_span over the union corpus, restricted to the docs
+        // whose complete inventories the two phases carry
         import spark.implicits._
-        val streamed = spark.createDataset(buf.synchronized(buf.toVector))
+        val streamed = spark.createDataset(phase1 ++ phase2)
           .groupBy("h", "doc_id")
           .agg(max("n_occ").as("n_occ"), max("dfreq").as("dfreq"))
           // touched keys re-emit entries for OTHER docs sharing the span

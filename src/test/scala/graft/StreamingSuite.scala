@@ -245,15 +245,18 @@ class StreamingSuite extends SparkSpec {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       // split the corpus at the median event time: everything before is
-      // the batch backfill, everything after streams in live
-      val raw = spark.read.parquet(s"$sf/events.parquet")
-      val cutNs = raw.stat.approxQuantile("ts", Array(0.5), 0.0)(0).toLong
-      val hist = raw.where(col("ts") < cutNs)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // the batch backfill, everything after streams in live. Vintage-
+      // agnostic: load through Tables.t (ts already normalized) and split
+      // on epoch µs; the re-written live slice is µs parquet either way.
+      val ev = Tables.t(spark, sf, "events")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val cutUs = ev.select(unix_micros(col("ts")).as("us"))
+        .stat.approxQuantile("us", Array(0.5), 0.0)(0).toLong
+      val hist = ev.where(unix_micros(col("ts")) < cutUs)
         .select("event_id", "ts", "user_id", "event_type", "value")
         .as[Streams.Event]
       val liveDir = Files.createTempDirectory("graft_tws_init").toString
-      raw.where(col("ts") >= cutNs).coalesce(1)
+      ev.where(unix_micros(col("ts")) >= cutUs).coalesce(1)
         .write.mode("overwrite").parquet(liveDir)
       val initial = Streams.funnelBootstrap(hist)
       val live = Streams.fileSource(spark, liveDir)
