@@ -95,6 +95,24 @@ class PlanSuite extends SparkSpec {
       "GreaterThanOrEqual(ts,"), s"ts filter not pushed in:\n${plan.take(2000)}")
   }
 
+  test("no events-family query plans a cartesian product") {
+    // The whole family re-verified after the round-11 vintage dispatch:
+    // every join must stay equi/banded (BNLJ appears ONLY as the 1-row
+    // scalar-broadcast pattern in ts_late/ts_gap_fill/ts_funnel, which is
+    // a narrow per-partition filter at any scale — never a pair explosion).
+    val keys = Seq("ts_tumbling", "ts_sliding", "ts_session", "ts_late",
+      "ts_anomaly", "ts_gap_fill", "ts_holt", "ts_ewma", "ts_funnel",
+      "ts_cohort", "ts_resample", "ts_backfill", "ts_rolling",
+      "win_lag_lead", "join_asof", "join_asof_fwd", "join_theta_range",
+      "agg_pivot", "agg_bitmap", "agg_approx_distinct", "fn_json",
+      "fn_map2", "fn_xml", "scan_partitioned")
+    keys.foreach { k =>
+      val plan = planOf(SparkEntry.queries(k)(spark, sf)).toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$k plans a cartesian:\n${plan.take(1500)}")
+    }
+  }
+
   test("join_bcast broadcasts both dimension tables (no fact shuffle for the join)") {
     val plan = formatted(SparkEntry.queries("join_bcast")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
