@@ -275,20 +275,35 @@ object TimeSeries {
     // how many users reach each stage. Three keyed min-aggregations chained
     // by strictly-later joins — never a per-user sort of raw history, so
     // each stage is one hash shuffle at any scale.
+    // Funnel = a per-user SEQUENTIAL fold (first view, first click after
+    // it, first purchase after that). The naive formulation is three
+    // filtered scans + three user_id joins + three groupBys (13 exchanges
+    // measured); since every stage keys on user_id, ONE groupBy can carry
+    // the whole fold: collect each user's per-type sorted µs lists in a
+    // single shuffle, then the stage transitions are narrow array HOFs
+    // (element_at(filter(...), 1) — null-propagating, so a user with no
+    // qualifying view simply nulls out of every later stage, exactly the
+    // join semantics). One events scan, one data shuffle, at any scale;
+    // per-user list size is bounded by per-user activity (the same bound
+    // every sessionization/window op here already assumes).
     "ts_funnel" -> Q(
       (s, d) => {
         val e = E(s, d)
-        val v = e.where(col("event_type") === "view")
-          .groupBy("user_id").agg(min("ts").as("t_view"))
-        val c = e.where(col("event_type") === "click")
-          .join(v, "user_id").where(col("ts") > col("t_view"))
-          .groupBy("user_id").agg(min("ts").as("t_click"))
-        val p = e.where(col("event_type") === "purchase")
-          .join(c, "user_id").where(col("ts") > col("t_click"))
-          .groupBy("user_id").agg(min("ts").as("t_purchase"))
-        v.agg(count(lit(1)).as("n_view_users"))
-          .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
-          .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+        def tsOf(t: String) = sort_array(collect_list(
+          when(col("event_type") === t, usec(col("ts"))))).as(t + "s")
+        e.where(col("event_type").isin("view", "click", "purchase"))
+          .groupBy("user_id")
+          .agg(tsOf("view"), tsOf("click"), tsOf("purchase"))
+          .select(
+            element_at(col("views"), 1).as("t_view"),
+            expr("element_at(filter(clicks, x -> x > element_at(views, 1)), 1)")
+              .as("t_click"),
+            col("purchases"))
+          .withColumn("t_purchase",
+            expr("element_at(filter(purchases, x -> x > t_click), 1)"))
+          .agg(count(col("t_view")).as("n_view_users"),
+            count(col("t_click")).as("n_click_users"),
+            count(col("t_purchase")).as("n_purchase_users"))
       },
       Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                         WHERE event_type = 'view' GROUP BY user_id),
