@@ -322,16 +322,19 @@ object TimeSeries {
     // Weekly cohort retention: users grouped by first-seen week × the weeks
     // they were active in. Both engines truncate weeks to Monday; DuckDB's
     // date_trunc('week') yields DATE, so both sides cast to µs TIMESTAMP.
-    // Two hash shuffles (first-seen, then cohort cells) — no driver state.
+    // The first-seen week rides an unbounded min() window over user_id
+    // instead of a groupBy+self-join — the fact table shuffles ONCE (the
+    // old formulation shuffled it twice: once to aggregate first-seen,
+    // once to join it back), then only cohort cells shuffle.
     "ts_cohort" -> Q(
       (s, d) => {
-        val e = E(s, d)
-        val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+        val w = Window.partitionBy("user_id")
+        E(s, d)
           .select(col("user_id"),
-            date_trunc("week", col("t0")).cast("timestamp_ntz").as("cohort_wk"))
-        e.join(first, "user_id")
-          .groupBy(col("cohort_wk"),
+            date_trunc("week", min(col("ts")).over(w))
+              .cast("timestamp_ntz").as("cohort_wk"),
             date_trunc("week", col("ts")).cast("timestamp_ntz").as("active_wk"))
+          .groupBy("cohort_wk", "active_wk")
           .agg(countDistinct("user_id").as("n_users"))
           .orderBy("cohort_wk", "active_wk")
       },
