@@ -200,9 +200,15 @@ object Text {
     "text_collocation" -> Q(
       (s, d) => {
         val t = D(s, d).select(toks.as("t"))
+        // uni is consumed 3× (both PMI join sides + the n_uni total) and bg
+        // 2× (PMI + n_bi): checkpoint the aggregated counts so the corpus
+        // tokenize+explode+count runs ONCE per table instead of per
+        // consumer (5 corpus scans → 2; both checkpoints are
+        // vocabulary-sized, not corpus-sized)
         val uni = t.select(explode(col("t")).as("w"))
           .where(length(col("w")) > 0)
           .groupBy("w").agg(count(lit(1)).as("c"))
+          .iterCheckpoint()
         val bg = t.select(explode(filter(
             transform(col("t"), (x, i) =>
               when(i < size(col("t")) - 1,
@@ -212,6 +218,7 @@ object Text {
           .select(col("p.a").as("a"), col("p.b").as("b"))
           .where(length(col("a")) > 0 && length(col("b")) > 0)
           .groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+          .iterCheckpoint()
         val nU = uni.agg(sum("c").as("n_uni"))
         val nB = bg.agg(sum("c_ab").as("n_bi"))
         bg.where(col("c_ab") >= 5)
@@ -255,13 +262,19 @@ object Text {
 
     // TF-IDF top-5 terms per source; idf uses the true source count, and the
     // transcendental ln() is rounded at 6 dp (continuous values — safe).
+    // df rides ON TOP of the checkpointed tf — tf's rows are exactly the
+    // distinct (source, token) pairs, so count-per-token over tf IS
+    // count(DISTINCT source): the corpus is tokenized+shuffled once, and
+    // the df aggregation runs over vocabulary×sources rows instead of a
+    // second pass over the full exploded token stream (3 corpus scans → 1,
+    // and no countDistinct expand at 100 TB).
     "text_tfidf" -> Q(
       (s, d) => {
         val tok = D(s, d).select(col("source"), explode(toks).as("token"))
         val nSrc = D(s, d).agg(countDistinct("source").as("n_src"))
         val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
-        val df = tok.groupBy("token")
-          .agg(countDistinct("source").as("df"))
+          .iterCheckpoint()
+        val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("source")
           .orderBy(col("score").desc, col("token").asc)
         tf.join(df, "token").crossJoin(broadcast(nSrc))
