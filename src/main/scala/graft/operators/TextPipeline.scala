@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Par.IterCheckpoint
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -274,11 +275,15 @@ object TextPipeline {
     // never the span text.
     "dedup_span" -> Q(
       (s, d) => {
+        // the span inventory is consumed twice (df aggregation + join
+        // back); at stride 20 it is ~1/20 the corpus text size, so ONE
+        // materialization beats two tokenize+explode corpus passes
         val sp = D(s, d)
           .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
           .withColumn("st", explode(expr("sequence(0, nt - 1, 20)")))
           .select(col("doc_id"),
             md5(expr("array_join(slice(tk, st + 1, 20), ' ')")).as("h"))
+          .iterCheckpoint()
         val df = sp.groupBy("h").agg(countDistinct("doc_id").as("dfreq"))
         sp.join(df, "h")
           .groupBy("doc_id")
