@@ -113,6 +113,33 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("round-11 plan consolidations hold (single-scan / bounded-shuffle shapes)") {
+    def shape(key: String): (Int, Int) = {
+      val plan = planOf(SparkEntry.queries(key)(spark, sf)).toString
+      ("Exchange".r.findAllIn(plan).size, "FileScan".r.findAllIn(plan).size)
+    }
+    // ts_funnel: ONE per-user groupBy carries the whole stage fold
+    val (fEx, fSc) = shape("ts_funnel")
+    assert(fSc == 1, s"ts_funnel re-scans events ($fSc scans)")
+    assert(fEx <= 3, s"ts_funnel regressed to multi-join shape ($fEx exchanges)")
+    // ts_cohort: first-seen week rides a window, not a groupBy+self-join
+    val (cEx, cSc) = shape("ts_cohort")
+    assert(cSc == 1, s"ts_cohort re-scans events ($cSc scans)")
+    assert(cEx <= 4, s"ts_cohort regressed ($cEx exchanges)")
+    // text_tfidf: df derives from materialized tf — one corpus pass total
+    // (the one remaining FileScan is nSrc's cheap source-column scan)
+    val (_, tSc) = shape("text_tfidf")
+    assert(tSc <= 1, s"text_tfidf re-tokenizes the corpus ($tSc scans)")
+    // text_collocation: uni/bigram counts materialize once (no scans in
+    // the final plan — the corpus passes happen at checkpoint time)
+    val (_, colSc) = shape("text_collocation")
+    assert(colSc == 0, s"text_collocation re-derives its counts ($colSc scans)")
+    // kmeans_iter: the point set is cached, not re-read per Lloyd round
+    val kmPlan = planOf(SparkEntry.queries("kmeans_iter")(spark, sf)).toString
+    assert(kmPlan.contains("InMemoryTableScan"),
+      "kmeans_iter no longer iterates over the cached point set")
+  }
+
   test("join_bcast broadcasts both dimension tables (no fact shuffle for the join)") {
     val plan = formatted(SparkEntry.queries("join_bcast")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
