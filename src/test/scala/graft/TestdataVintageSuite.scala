@@ -81,6 +81,24 @@ class TestdataVintageSuite extends SparkSpec {
         "— the physical-unit dispatch in Tables.t mis-decoded this vintage")
   }
 
+  test("documents/embeddings column types hold (text/similarity families)") {
+    // a silent type flip here (e.g. embedding → array<double>, n_chars →
+    // int) would break dozens of queries with opaque analysis errors —
+    // same failure mode as the round-10 events swap, different tables
+    val d = spark.read.parquet(s"$sf/documents.parquet").schema
+    assert(d("doc_id").dataType == LongType, s"doc_id: ${d("doc_id").dataType}")
+    assert(d("text").dataType == StringType, s"text: ${d("text").dataType}")
+    assert(d("lang").dataType == StringType, s"lang: ${d("lang").dataType}")
+    assert(d("source").dataType == StringType, s"source: ${d("source").dataType}")
+    assert(d("n_chars").dataType == LongType, s"n_chars: ${d("n_chars").dataType}")
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").schema
+    assert(e("vec_id").dataType == LongType, s"vec_id: ${e("vec_id").dataType}")
+    assert(e("embedding").dataType == ArrayType(FloatType, containsNull = true) ||
+      e("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embedding: ${e("embedding").dataType} — similarity/ANN family expects array<float>")
+    assert(e("label").dataType == IntegerType, s"label: ${e("label").dataType}")
+  }
+
   test("every table loads with rows at sf0.001") {
     Tables.names.foreach { t =>
       assert(Tables.t(spark, sf, t).limit(1).count() == 1,
