@@ -281,11 +281,13 @@ object TimeSeries {
     // measured); since every stage keys on user_id, ONE groupBy can carry
     // the whole fold: collect each user's per-type sorted µs lists in a
     // single shuffle, then the stage transitions are narrow array HOFs
-    // (element_at(filter(...), 1) — null-propagating, so a user with no
-    // qualifying view simply nulls out of every later stage, exactly the
-    // join semantics). One events scan, one data shuffle, at any scale;
-    // per-user list size is bounded by per-user activity (the same bound
-    // every sessionization/window op here already assumes).
+    // (try_element_at(filter(...), 1) — null on an empty array, so a user
+    // with no qualifying view simply nulls out of every later stage,
+    // exactly the join semantics; plain element_at would THROW under the
+    // ANSI default on any funnel drop-off, the normal production case).
+    // One events scan, one data shuffle, at any scale; per-user list size
+    // is bounded by per-user activity (the same bound every
+    // sessionization/window op here already assumes).
     "ts_funnel" -> Q(
       (s, d) => {
         val e = E(s, d)
@@ -295,12 +297,12 @@ object TimeSeries {
           .groupBy("user_id")
           .agg(tsOf("view"), tsOf("click"), tsOf("purchase"))
           .select(
-            element_at(col("views"), 1).as("t_view"),
-            expr("element_at(filter(clicks, x -> x > element_at(views, 1)), 1)")
+            try_element_at(col("views"), lit(1)).as("t_view"),
+            expr("try_element_at(filter(clicks, x -> x > try_element_at(views, 1)), 1)")
               .as("t_click"),
             col("purchases"))
           .withColumn("t_purchase",
-            expr("element_at(filter(purchases, x -> x > t_click), 1)"))
+            expr("try_element_at(filter(purchases, x -> x > t_click), 1)"))
           .agg(count(col("t_view")).as("n_view_users"),
             count(col("t_click")).as("n_click_users"),
             count(col("t_purchase")).as("n_purchase_users"))

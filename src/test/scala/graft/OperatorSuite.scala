@@ -159,6 +159,35 @@ class OperatorSuite extends SparkSpec {
     assert(v >= c && c >= p && p >= 0)
   }
 
+  test("ts_funnel survives funnel drop-off (ANSI null path, every stage)") {
+    // The driver fixtures happen to complete every stage for every user, so
+    // they never exercise the empty-array lookups. Under Spark 4's ANSI
+    // default a plain element_at on an empty array THROWS — this fixture
+    // has a user dropping out at each stage and pins the null-propagating
+    // try_element_at semantics (round-12 ADVICE high).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view"),     // u1 completes all stages
+      (2L, "2024-01-01 00:01:00", 1L, "click"),
+      (3L, "2024-01-01 00:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:00:00", 2L, "view"),     // u2: view only
+      (5L, "2024-01-01 00:00:00", 3L, "click"),    // u3: NO view at all
+      (6L, "2024-01-01 00:01:00", 3L, "purchase"),
+      (7L, "2024-01-01 00:05:00", 4L, "view"),     // u4: click BEFORE view
+      (8L, "2024-01-01 00:01:00", 4L, "click"),
+      (9L, "2024-01-01 00:00:00", 5L, "view"),     // u5: purchase BEFORE click
+      (10L, "2024-01-01 00:01:00", 5L, "click"),
+      (11L, "2024-01-01 00:00:30", 5L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("ts_funnel")(spark, dir).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)))
+  }
+
   test("ts_cohort: activity weeks never precede the cohort week") {
     val rows = SparkEntry.queries("ts_cohort")(spark, sf).collect()
     assert(rows.nonEmpty)
