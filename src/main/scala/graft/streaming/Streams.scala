@@ -24,15 +24,43 @@ object Streams {
 
   case class UserRunning(user_id: Long, n: Long, sum_value: Double)
 
+  /** Declared events schema for a stream started BEFORE any data lands
+    * (an empty or just-created source directory — a normal streaming
+    * lifecycle): the current testdata vintage, timestamp[us] surfacing as
+    * TIMESTAMP_NTZ under NTZ inference. A caller tailing the legacy
+    * TIMESTAMP(NANOS) vintage can pass the nanos-as-BIGINT schema
+    * explicitly via `fileSource(expected = ...)`. */
+  val declaredEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
+
   /** File-source stream over an events-shaped directory. The physical ts
     * encoding has shipped in two vintages (TIMESTAMP(NANOS)-as-BIGINT
     * under nanosAsLong, and plain timestamp[us] — same dispatch as
     * `Tables.t`), and a streaming source needs a declared schema — so peek
     * at the batch-read schema (driver-side, one footer) and dispatch.
+    * When the directory is empty or missing, the peek cannot infer — fall
+    * back to [[declaredEventsSchema]] (or the caller-supplied `expected`)
+    * so the stream can start before any data lands. Note the schema is
+    * pinned for the stream's lifetime either way (a Structured Streaming
+    * source contract, not a choice here).
     * Either way ts lands as LTZ TIMESTAMP: watermarks reject NTZ, and the
     * session TZ is UTC so the cast is value-preserving. */
-  def fileSource(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(dir).schema
+  def fileSource(spark: SparkSession, dir: String,
+      expected: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val physical = expected.getOrElse(
+      try spark.read.parquet(dir).schema
+      catch { // UNABLE_TO_INFER_SCHEMA / PATH_NOT_FOUND: empty source dir
+        case _: org.apache.spark.sql.AnalysisException => declaredEventsSchema
+      })
     val base = spark.readStream.schema(physical).parquet(dir)
     physical("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

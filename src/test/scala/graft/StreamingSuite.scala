@@ -37,6 +37,29 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileSource starts on an empty directory before any data lands") {
+    // Round-12 ADVICE medium: the schema peek used to throw
+    // UNABLE_TO_INFER_SCHEMA on an empty source dir; the declared-schema
+    // fallback lets the stream start first and ingest data that lands
+    // later — the normal streaming-source lifecycle.
+    val dir = Files.createTempDirectory("graft_stream_empty").toString
+    val q = Streams.tumbling(Streams.fileSource(spark, dir))
+      .writeStream.format("memory").queryName("empty_start_sink")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_sink").count() == 0)
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        Paths.get(s"$dir/events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val streamed = spark.table("empty_start_sink").count()
+      val batch = Tables.t(spark, sf, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .count().count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("session windows produce sessions incrementally") {
     val dir = eventsDir
     val q = Streams.sessions(Streams.fileSource(spark, dir))
