@@ -704,6 +704,13 @@ private object BlockWrites {
     * delete-then-rename. */
   def renameIntoData(fs: FileSystem, from: Path, to: Path): Unit = {
     if (!fs.rename(from, to)) {
+      // Replay guard (round-12 ADVICE low): rename also returns false when
+      // the SOURCE is missing — a replayed/raced commit whose tmp was
+      // already consumed by the first completion. Deleting the target then
+      // would turn a benign replay into data loss of a committed block.
+      // Only when the source still exists is the failure an
+      // HDFS-style refusal to overwrite, where new bytes must win.
+      if (!fs.exists(from) && fs.exists(to)) return
       fs.delete(to, false)
       require(fs.rename(from, to),
         s"graft-blocks: rename $from -> $to failed")

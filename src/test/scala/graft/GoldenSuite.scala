@@ -26,7 +26,15 @@ class GoldenSuite extends SparkSpec {
     assert(current.keySet == golden.keySet,
       s"query set drift: +${current.keySet.diff(golden.keySet)} " +
         s"-${golden.keySet.diff(current.keySet)}")
-    val bad = current.filter { case (k, v) => golden(k) != v }
+    // scan_binary emits parquet file byte-lengths, so its content hash pins
+    // the testdata VINTAGE (file sizes changed when the driver regenerated
+    // the mount), not engine behavior. Compare row count only here;
+    // RowsOnlyInvariantSuite verifies its content against a live directory
+    // walk on whatever vintage is mounted (round-12 ADVICE low).
+    val sizeDependent = Set("scan_binary")
+    val bad = current.filter { case (k, v) =>
+      if (sizeDependent(k)) golden(k)._1 != v._1 else golden(k) != v
+    }
     assert(bad.isEmpty,
       s"golden mismatch (regenerate if intentional): ${bad.keys.toSeq.sorted}")
   }

@@ -59,6 +59,27 @@ class BlockLogDurabilitySuite extends graft.SparkSpec {
       "streaming-commit rename kept stale block content")
   }
 
+  test("renameIntoData replay with a consumed source keeps the block") {
+    // Round-12 ADVICE low: fs.rename also returns false when the SOURCE is
+    // missing — a replayed/raced commit whose tmp was already consumed by
+    // the first completion. Without the guard the fallback deleted the
+    // committed target and then failed the require: data loss from a
+    // benign replay.
+    val dir = java.nio.file.Files.createTempDirectory("graft_blk_replay")
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val from = new org.apache.hadoop.fs.Path(dir.toString, "tmp_block")
+    val to = new org.apache.hadoop.fs.Path(dir.toString, "block_0.bin")
+    val out = fs.create(from)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    BlockWrites.renameIntoData(fs, from, to) // first completion consumes tmp
+    BlockWrites.renameIntoData(fs, from, to) // replay: tmp already gone
+    assert(fs.exists(to), "replay deleted the committed block")
+    val in = fs.open(to)
+    val buf = new Array[Byte](3); in.readFully(buf); in.close()
+    assert(buf.toSeq == Seq[Byte](1, 2, 3), "replay corrupted the block")
+  }
+
   // ---- the compaction tests drive BlockMicroBatchStream at the connector
   // API level (as BlockExactlyOnceSuite drives the sink): a running
   // StreamExecution defers source.commit to the NEXT batch's start, so
