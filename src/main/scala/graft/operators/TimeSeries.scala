@@ -177,7 +177,7 @@ object TimeSeries {
         val counts = e.groupBy("h", "event_type").agg(count(lit(1)).as("n_raw"))
         val spine = e.agg(min("h").as("h0"), max("h").as("h1"))
           .select(explode(expr("sequence(h0, h1)")).as("h"))
-          .crossJoin(e.select("event_type").distinct())
+          .crossJoin(broadcast(e.select("event_type").distinct()))
         spine.join(counts, Seq("h", "event_type"), "left")
           .select(
             expr(s"CAST(timestamp_micros(h * $hourUs) AS TIMESTAMP_NTZ)")

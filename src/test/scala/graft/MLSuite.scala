@@ -19,6 +19,15 @@ class MLSuite extends SparkSpec {
       .cache()
   }
 
+  test("kmPts persists MEMORY_AND_DISK and unpersistPts drops the entry") {
+    import org.apache.spark.storage.StorageLevel
+    val p = operators.ML.kmPts(spark, sf)
+    assert(p.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    operators.ML.unpersistPts(spark, sf)
+    assert(p.storageLevel == StorageLevel.NONE,
+      "unpersist hook missed the plan-keyed cache entry")
+  }
+
   test("seeded MLlib KMeans fit is deterministic and partitions all rows") {
     val km = new KMeans().setK(10).setSeed(42L).setMaxIter(5)
     val m1 = km.fit(vecs)

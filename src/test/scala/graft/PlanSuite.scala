@@ -111,6 +111,12 @@ class PlanSuite extends SparkSpec {
       assert(!plan.contains("CartesianProduct"),
         s"$k plans a cartesian:\n${plan.take(1500)}")
     }
+    // round-12: the gap-fill spine's event-type dimension carries an
+    // explicit broadcast() hint — the plan is a BroadcastNestedLoopJoin by
+    // construction at ANY scale, not by AQE's runtime stats estimate.
+    val gp = formatted(SparkEntry.queries("ts_gap_fill")(spark, sf))
+    assert(gp.contains("BroadcastNestedLoopJoin"),
+      s"ts_gap_fill spine crossJoin is not broadcast:\n${gp.take(1500)}")
   }
 
   test("round-11 plan consolidations hold (single-scan / bounded-shuffle shapes)") {
