@@ -101,6 +101,14 @@ object Bench {
         passes, sfName))
       System.out.flush() // stdout is a pipe under forked sbt: a SIGKILL must
       // not be able to strand the line in the PrintStream buffer
+      // Local tooling only (tools/bench_shape.py --record): the stdout line
+      // elides fast queries to fit the driver's 2000-byte tail window; this
+      // writes the COMPLETE per-query map with no size cap.
+      sys.env.get("SPARK_GRAFT_BENCH_MAP_FILE").foreach { p =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+          BenchLine.render(results, names.length - results.length,
+            passes, sfName, budget = Int.MaxValue) + "\n")
+      }
     }
 
     // Untimed warmup: absorb one-time costs that otherwise get charged to
@@ -115,12 +123,24 @@ object Bench {
     //   dedup_mllsh    — MLlib MinHashLSH fit + approxSimilarityJoin
     //                    classload/JIT (BENCH_r08 charged pass 1 19.8 s vs
     //                    the 8–9 s steady-state fit+join itself)
+    //   heavy families — graph_*, dedup_ngram/cluster/span, kmeans,
+    //                    agg_group, text_collocation/text_tfidf: round-11
+    //                    measured pass 1 = 109.7 s vs 89.6 s steady on the
+    //                    same quiet host — ~20 s of codegen JIT and
+    //                    first-materialization concentrated in these. When
+    //                    host contention makes the driver's 230 s budget
+    //                    record pass 1 ALONE, that one-time cost lands in
+    //                    the driver-visible total; warming it keeps pass 1
+    //                    at the steady-state shape (round-12 VERDICT 2).
     // The corpora are memoized per (applicationId, sfDir), so every TIMED
     // pass measures the declared read path — the steady-state shape a
     // deployed pipeline has, not the first-ever-run setup cost.
     if (names.nonEmpty) {
       val warm = "scan_parquet" +:
-        Seq("mm_pipeline", "join_bucketed", "dedup_mllsh")
+        Seq("mm_pipeline", "join_bucketed", "dedup_mllsh",
+          "graph_triangles", "graph_pagerank", "dedup_ngram",
+          "dedup_cluster", "dedup_span", "kmeans_conv", "agg_group",
+          "text_collocation", "text_tfidf")
           .filter(w => names.exists(_._1 == w))
       for (w <- warm; q <- SparkEntry.queries.get(w))
         try q(spark, sfDir).write.mode("overwrite").format("noop").save()

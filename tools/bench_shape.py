@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Mechanical bench-shape adjudicator (round-12 VERDICT item 3).
+
+Compares a bench result's per-query map against the recorded quiet-host
+baseline shape (tools/baseline_shape.json) and splits, mechanically, the
+two ways a total can exceed the bar:
+
+  UNIFORM_INFLATION — the per-query MEDIAN ratio is itself high: host
+      contention inflates every query together (the documented burst
+      pattern also spikes individual queries 30-100x — those are flagged
+      as bursts, to adjudicate with a quiet-host re-run, NOT a plan fix).
+  ISOLATED_REGRESSION — the median ratio is near 1 (quiet host) but
+      specific queries moved >2x: a plan bug, fix before shipping.
+
+Usage:
+  python3 tools/bench_shape.py BENCH_rN.json [--baseline tools/baseline_shape.json]
+  python3 tools/bench_shape.py --record BENCH_quiet.json   # re-record baseline
+
+Accepts either the driver artifact ({"n":..,"parsed":{...}}) or a raw
+one-line Bench JSON ({"metric":"total",...}). Exit 1 only on
+ISOLATED_REGRESSION; contention is environmental, not a code failure.
+"""
+import argparse
+import json
+import os
+import statistics
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_BASELINE = os.path.join(HERE, "baseline_shape.json")
+# Ratios of sub-noise-floor queries are meaningless (0.1 s -> 0.3 s is
+# scheduler jitter, not a 3x regression): clamp the denominator.
+NOISE_FLOOR_S = 0.4
+
+
+def load_bench(path):
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d:  # driver artifact wrapper
+        d = d["parsed"]
+    if d.get("metric") != "total":
+        sys.exit(f"{path}: not a bench line (no metric=total)")
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", help="BENCH_rN.json or raw Bench JSON line file")
+    ap.add_argument("--baseline", default=DEFAULT_BASELINE)
+    ap.add_argument("--record", action="store_true",
+                    help="write this bench's map as the new baseline shape")
+    args = ap.parse_args()
+
+    bench = load_bench(args.bench)
+    queries = {k: v for k, v in bench.get("queries", {}).items()}
+    failed = sorted(k for k, v in queries.items() if v < 0)
+
+    if args.record:
+        if failed:
+            sys.exit(f"refusing to record a baseline with failures: {failed}")
+        with open(args.baseline, "w") as f:
+            json.dump({"total": bench["value"], "passes": bench.get("passes"),
+                       "sf": bench.get("sf"), "queries": queries},
+                      f, indent=1, sort_keys=True)
+        print(f"recorded baseline shape: {bench['value']} s, "
+              f"{len(queries)} queries -> {args.baseline}")
+        return
+
+    with open(args.baseline) as f:
+        base = json.load(f)
+
+    # The Bench line keeps only the slowest queries when the full map would
+    # overflow the driver's 2000-byte stdout tail ("elided":N). A query in
+    # the bench map but missing from the baseline map was therefore FAST at
+    # record time (below the baseline's smallest kept value) — use that
+    # smallest kept value as an upper bound on its true time, making the
+    # ratio a LOWER bound. This is exactly how a contention burst on a
+    # trivial query (fn_cast 0.3 s -> 33 s on record) stays visible.
+    base_q = base["queries"]
+    elide_bound = min(base_q.values()) if base_q else NOISE_FLOOR_S
+    ratios = {}
+    for k, v in queries.items():
+        if v < 0:
+            continue  # failed; reported separately
+        denom = base_q.get(k, elide_bound)
+        ratios[k] = v / max(denom, NOISE_FLOOR_S)
+    if not ratios:
+        sys.exit("no overlapping queries between bench and baseline")
+
+    med = statistics.median(ratios.values())
+    total_ratio = bench["value"] / base["total"]
+    print(f"total: {bench['value']} s vs baseline {base['total']} s "
+          f"= {total_ratio:.2f}x   (passes={bench.get('passes')}, "
+          f"{len(ratios)} queries compared, median per-query {med:.2f}x)")
+    if failed:
+        print(f"FAILED queries ({len(failed)}): {', '.join(failed)}")
+
+    if med >= 1.5:
+        # Everything moved together: the host, not the plans. Individual
+        # spikes far above even the inflated median are contention bursts
+        # (BASELINE.md documents 30-100x bursts on this host).
+        bursts = sorted(((k, r) for k, r in ratios.items() if r > 2 * med),
+                        key=lambda kv: -kv[1])
+        print(f"verdict: UNIFORM_INFLATION — median {med:.2f}x says host "
+              f"contention; re-run min-of-3 on a quiet host to adjudicate.")
+        for k, r in bursts:
+            rec = base_q.get(k)
+            rec_s = f"{rec} s" if rec is not None else f"<{elide_bound} s"
+            print(f"  burst spike: {k} {queries[k]} s "
+                  f"({r:.0f}x recorded {rec_s}) — "
+                  f"contention burst, not a plan bug")
+        return
+
+    regressions = sorted(((k, r) for k, r in ratios.items() if r > 2.0),
+                         key=lambda kv: -kv[1])
+    if regressions or failed:
+        print("verdict: ISOLATED_REGRESSION — quiet host "
+              f"(median {med:.2f}x) but specific queries moved:")
+        for k, r in regressions:
+            rec = base_q.get(k)
+            rec_s = f"{rec} s" if rec is not None else f"<{elide_bound} s"
+            print(f"  {k}: {queries[k]} s vs recorded "
+                  f"{rec_s} ({r:.1f}x) — inspect the plan")
+        sys.exit(1)
+
+    print(f"verdict: OK — shape matches the recorded baseline "
+          f"(median {med:.2f}x, no query >2x).")
+
+
+if __name__ == "__main__":
+    main()
