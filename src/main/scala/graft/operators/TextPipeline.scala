@@ -81,6 +81,12 @@ object TextPipeline {
     // C4/Gopher-style quality gate: token-count bounds, mean-token-length
     // band, duplicate-bigram ceiling. Emits the per-rule verdicts so a
     // pipeline can audit WHY a document was dropped, not just that it was.
+    // dup2_frac is NULL for docs with <2 tokens (no bigrams → undefined;
+    // the nt>=2 CASE also keeps sequence(1, nt-1) from descending into
+    // element_at(tk, 0), which throws on any 1-token doc — short docs are
+    // the NORMAL case in a real corpus even though no fixture has one).
+    // pass stays a decided false for them: ok_len is false and
+    // false AND NULL = false under three-valued logic.
     "filter_c4" -> Q(
       (s, d) => D(s, d)
         .select(col("doc_id"), col("text"), tk.as("tk"), size(tk).as("nt"))
@@ -88,10 +94,11 @@ object TextPipeline {
           col("nt").cast("bigint").as("n_tok"),
           ((length(col("text")) - (col("nt") - 1)).cast("double") / col("nt"))
             .as("mean_tok_len"),
-          (lit(1.0) - expr(
-            """size(array_distinct(transform(sequence(1, nt - 1),
-                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
-            .cast("double") / (col("nt") - 1)).as("dup2_frac"))
+          when(col("nt") >= 2,
+            lit(1.0) - expr(
+              """size(array_distinct(transform(sequence(1, nt - 1),
+                   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
+              .cast("double") / (col("nt") - 1)).as("dup2_frac"))
         .select(col("doc_id"), col("n_tok"), col("mean_tok_len"), col("dup2_frac"),
           (col("n_tok") >= 20).as("ok_len"),
           (col("mean_tok_len") <= 5.0).as("ok_mean"),
@@ -105,9 +112,10 @@ object TextPipeline {
               m AS (
                 SELECT doc_id, CAST(nt AS BIGINT) AS n_tok,
                        CAST(nc - (nt - 1) AS DOUBLE) / nt AS mean_tok_len,
-                       1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
-                                i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
-                         AS dup2_frac
+                       CASE WHEN nt >= 2 THEN
+                         1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
+                                  i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
+                       END AS dup2_frac
                 FROM t)
               SELECT doc_id, n_tok, mean_tok_len, dup2_frac,
                      n_tok >= 20 AS ok_len,
@@ -117,35 +125,44 @@ object TextPipeline {
               FROM m ORDER BY doc_id""")),
 
     // Gopher repetition signals: duplicate 2-gram and 3-gram fractions.
+    // Same short-doc contract as filter_c4: a doc with <k tokens has zero
+    // k-grams, so n_*grams clamps at 0 and dup*_frac is NULL (the nt>=k
+    // CASE also keeps sequence(1, nt-k+1) from descending into
+    // element_at(tk, 0), which throws).
     "text_repetition" -> Q(
       (s, d) => D(s, d)
         .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
         .select(col("doc_id"),
-          (col("nt") - 1).cast("bigint").as("n_bigrams"),
-          (lit(1.0) - expr(
-            """size(array_distinct(transform(sequence(1, nt - 1),
-                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
-            .cast("double") / (col("nt") - 1)).as("dup2_frac"),
-          (col("nt") - 2).cast("bigint").as("n_trigrams"),
-          (lit(1.0) - expr(
-            """size(array_distinct(transform(sequence(1, nt - 2),
-                 i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
-                             element_at(tk, i + 2)))))""")
-            .cast("double") / (col("nt") - 2)).as("dup3_frac"))
+          greatest(col("nt") - 1, lit(0)).cast("bigint").as("n_bigrams"),
+          when(col("nt") >= 2,
+            lit(1.0) - expr(
+              """size(array_distinct(transform(sequence(1, nt - 1),
+                   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))))""")
+              .cast("double") / (col("nt") - 1)).as("dup2_frac"),
+          greatest(col("nt") - 2, lit(0)).cast("bigint").as("n_trigrams"),
+          when(col("nt") >= 3,
+            lit(1.0) - expr(
+              """size(array_distinct(transform(sequence(1, nt - 2),
+                   i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1), ' ',
+                               element_at(tk, i + 2)))))""")
+              .cast("double") / (col("nt") - 2)).as("dup3_frac"))
         .orderBy("doc_id"),
       Some("""WITH t AS (
                 SELECT doc_id, string_split(text, ' ') AS sp,
                        len(string_split(text, ' ')) AS nt
                 FROM documents)
               SELECT doc_id,
-                     CAST(nt - 1 AS BIGINT) AS n_bigrams,
-                     1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
-                              i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
-                       AS dup2_frac,
-                     CAST(nt - 2 AS BIGINT) AS n_trigrams,
-                     1.0 - CAST(len(list_distinct(list_transform(range(1, nt - 1),
-                              i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2]))) AS DOUBLE)
-                           / (nt - 2) AS dup3_frac
+                     CAST(greatest(nt - 1, 0) AS BIGINT) AS n_bigrams,
+                     CASE WHEN nt >= 2 THEN
+                       1.0 - CAST(len(list_distinct(list_transform(range(1, nt),
+                                i -> sp[i] || ' ' || sp[i + 1]))) AS DOUBLE) / (nt - 1)
+                     END AS dup2_frac,
+                     CAST(greatest(nt - 2, 0) AS BIGINT) AS n_trigrams,
+                     CASE WHEN nt >= 3 THEN
+                       1.0 - CAST(len(list_distinct(list_transform(range(1, nt - 1),
+                                i -> sp[i] || ' ' || sp[i + 1] || ' ' || sp[i + 2]))) AS DOUBLE)
+                             / (nt - 2)
+                     END AS dup3_frac
               FROM t ORDER BY doc_id""")),
 
     // PII redaction: the synthetic corpus carries no contact strings, so a

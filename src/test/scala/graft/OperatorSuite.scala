@@ -188,6 +188,63 @@ class OperatorSuite extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)))
   }
 
+  test("filter_c4 / text_repetition survive short documents (sequence trap)") {
+    // Same masking pattern as the ts_funnel ANSI crash: every fixture doc
+    // is long, so sequence(1, nt - 1) never ran with nt = 1 — where Spark
+    // auto-infers step -1, yields [1, 0], and element_at(tk, 0) THROWS.
+    // Short/empty docs are the normal case in a real corpus; this fixture
+    // pins the contract: k-gram counts clamp at 0 and dup-fracs are NULL
+    // when the doc has fewer than k tokens.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shortdoc").toString
+    val long5 = (1 to 25).map("t" + _).mkString(" ") // 25 distinct tokens
+    Seq(
+      (1L, "", "en", "web"),            // empty text → one "" token
+      (2L, "hello", "en", "web"),       // 1 token: no bigrams
+      (3L, "hello world", "en", "web"), // 2 tokens: 1 bigram, no trigrams
+      (4L, "a b a b a b", "en", "web"), // 6 tokens, heavy repetition
+      (5L, long5, "en", "web"))         // long doc: passes every C4 gate
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val c4 = SparkEntry.queries("filter_c4")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(c4(1L).isNullAt(c4(1L).fieldIndex("dup2_frac")))
+    assert(c4(2L).isNullAt(c4(2L).fieldIndex("dup2_frac")))
+    assert(!c4(1L).getAs[Boolean]("pass")) // false AND NULL = false
+    assert(c4(3L).getAs[Double]("dup2_frac") == 0.0)
+    assert(c4(4L).getAs[Double]("dup2_frac") == 0.6) // {a b, b a} of 5
+    assert(c4(5L).getAs[Boolean]("pass"))
+
+    val rep = SparkEntry.queries("text_repetition")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(rep(id).getAs[Long]("n_bigrams") == 0L)
+      assert(rep(id).getAs[Long]("n_trigrams") == 0L)
+      assert(rep(id).isNullAt(rep(id).fieldIndex("dup2_frac")))
+      assert(rep(id).isNullAt(rep(id).fieldIndex("dup3_frac")))
+    }
+    assert(rep(3L).getAs[Long]("n_bigrams") == 1L)
+    assert(rep(3L).getAs[Double]("dup2_frac") == 0.0)
+    assert(rep(3L).isNullAt(rep(3L).fieldIndex("dup3_frac")))
+    assert(rep(4L).getAs[Double]("dup2_frac") == 0.6)
+    assert(rep(4L).getAs[Double]("dup3_frac") == 0.5) // {a b a, b a b} of 4
+
+    // The rest of the documents-only text/dedup family must not crash on
+    // degenerate docs either (guards like WHERE size(t) >= k may legally
+    // drop them — the contract here is "no exception", not row counts).
+    for (k <- Seq("text_tokens", "text_ngrams", "text_chunk", "text_quality",
+                  "text_fingerprint", "text_langid", "text_entropy",
+                  "text_lang_stats", "text_minhash", "text_normalize",
+                  "text_stem", "text_url", "text_html", "text_pii",
+                  "dedup_exact", "dedup_simhash", "dedup_lsh", "dedup_ngram",
+                  "dedup_near", "dedup_edit", "dedup_span",
+                  "text_collocation", "text_tfidf", "text_decontaminate"))
+      withClue(s"$k on short-doc corpus: ")(
+        SparkEntry.queries(k)(spark, dir).collect())
+  }
+
   test("ts_cohort: activity weeks never precede the cohort week") {
     val rows = SparkEntry.queries("ts_cohort")(spark, sf).collect()
     assert(rows.nonEmpty)
