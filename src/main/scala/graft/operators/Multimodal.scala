@@ -54,9 +54,14 @@ object Multimodal {
     blocks.mapPartitions(decodePartition)
   }
 
-  /** binaryFile ingest: each file → (path, modificationTime, length, content). */
-  def readBlobs(spark: SparkSession, glob: String): DataFrame =
-    spark.read.format("binaryFile").load(glob)
+  /** binaryFile ingest: each file → (path, modificationTime, length, content).
+    * The filter is a pathGlobFilter over an existing directory rather than a
+    * glob in the load path: a glob that matches zero files throws
+    * PATH_NOT_FOUND, while an empty directory is a legal 0-row scan
+    * (binaryFile's schema is fixed — nothing to infer).
+    */
+  def readBlobs(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
   // ---------------------------------------------------------------------
   // NIfTI-1: a REAL neuroimaging block format, per the public spec
@@ -222,7 +227,7 @@ object Multimodal {
     // opaque blobs) — deterministic file names/sizes; no SQL oracle
     // (DuckDB reads parquet content, not arbitrary blobs) → rows-only check.
     "scan_binary" -> Q(
-      (s, d) => readBlobs(s, d + "/*.parquet")
+      (s, d) => readBlobs(s, d, "*.parquet")
         .select(
           element_at(split(col("path"), "/"), -1).as("file_name"),
           col("length"))
@@ -331,7 +336,7 @@ object Multimodal {
               }
             out
           })
-        readBlobs(s, dir + "/*.nii")
+        readBlobs(s, dir, "*.nii")
           .select(
             regexp_extract(col("path"), "block_(\\d+)\\.nii$", 1)
               .cast("bigint").as("id"),

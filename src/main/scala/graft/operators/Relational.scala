@@ -987,8 +987,13 @@ object Relational {
     "scan_partitioned" -> Q(
       (s, d) => {
         val tmp = rtTmp(s, "part", d)
-        E(s, d).write.mode("overwrite").partitionBy("event_type").parquet(tmp)
-        s.read.parquet(tmp)
+        val src = E(s, d)
+        src.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        // explicit schema (partition column included — Spark reconstitutes
+        // its values from the directory names): a 0-row source writes no
+        // data files, and a schema-less read-back of that would throw
+        // UNABLE_TO_INFER_SCHEMA instead of yielding a legal empty scan
+        s.read.schema(src.schema).parquet(tmp)
           .where(col("event_type").isin("purchase", "signup"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

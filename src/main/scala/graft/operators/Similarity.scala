@@ -264,18 +264,27 @@ object Similarity {
         val vecs = V(s, d).select(col("vec_id"),
           array_to_vector(col("embedding")).as("features"))
         val probes = vecs.where(col("vec_id") < PROBES)
-        val model = new BucketedRandomProjectionLSH()
-          .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
-          .setInputCol("features").setOutputCol("hashes")
-          .fit(vecs)
-        // 1.2 ≈ the 1st percentile of the probe↔corpus distance
-        // distribution (median 1.41, measured) — keeps genuine neighbors
-        // only; looser caps pass most pairs and defeat the bucketing.
-        model.approxSimilarityJoin(probes, vecs, 1.2, "dist")
-          .select(col("datasetA.vec_id").as("ia"),
-            col("datasetB.vec_id").as("ib"))
-          .where(col("ia") =!= col("ib"))
-          .orderBy("ia", "ib")
+        // MLlib's fit() needs at least one vector (it peeks the dimension
+        // off the first row); an empty corpus is a legal input with a
+        // well-defined answer — no candidate pairs. One cheap driver-side
+        // existence probe, same class as kmeans_conv's convergence scalar.
+        if (vecs.isEmpty)
+          probes.select(col("vec_id").as("ia"), col("vec_id").as("ib"))
+            .limit(0)
+        else {
+          val model = new BucketedRandomProjectionLSH()
+            .setBucketLength(2.0).setNumHashTables(3).setSeed(42L)
+            .setInputCol("features").setOutputCol("hashes")
+            .fit(vecs)
+          // 1.2 ≈ the 1st percentile of the probe↔corpus distance
+          // distribution (median 1.41, measured) — keeps genuine neighbors
+          // only; looser caps pass most pairs and defeat the bucketing.
+          model.approxSimilarityJoin(probes, vecs, 1.2, "dist")
+            .select(col("datasetA.vec_id").as("ia"),
+              col("datasetB.vec_id").as("ib"))
+            .where(col("ia") =!= col("ib"))
+            .orderBy("ia", "ib")
+        }
       },
       None),
 

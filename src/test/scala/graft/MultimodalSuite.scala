@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class MultimodalSuite extends SparkSpec {
 
   test("binaryFile ingest lists the sf parquet files with real sizes") {
-    val rows = Multimodal.readBlobs(spark, s"$sf/*.parquet")
+    val rows = Multimodal.readBlobs(spark, sf, "*.parquet")
       .select(element_at(split(col("path"), "/"), -1).as("f"), col("length"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows.keySet == Tables.names.map(_ + ".parquet").toSet)
