@@ -370,10 +370,15 @@ object TextPipeline {
 
     // Plain-text round-trip (4th format family after csv/json/orc): lines
     // are key|text records; the read side parses them back with split_part.
+    // NULL text is skipped on the write side — a line format has no NULL
+    // representation (concat(id, '|', NULL) is NULL, the text writer emits
+    // an empty line, and the read-back cast('' AS BIGINT) throws under
+    // ANSI); an export pipeline drops textless records at the boundary.
     "scan_text_rt" -> Q(
       (s, d) => {
         val tmp = graft.Scratch.dir(s, "txt")
-        D(s, d).select(concat(col("doc_id"), lit("|"), col("text")).as("value"))
+        D(s, d).where(col("text").isNotNull)
+          .select(concat(col("doc_id"), lit("|"), col("text")).as("value"))
           .write.mode("overwrite").text(tmp)
         s.read.text(tmp)
           .select(
@@ -381,6 +386,7 @@ object TextPipeline {
             expr("substring(value, instr(value, '|') + 1)").as("text"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, text FROM documents ORDER BY doc_id"""))
+      Some("""SELECT doc_id, text FROM documents
+              WHERE text IS NOT NULL ORDER BY doc_id"""))
   )
 }
