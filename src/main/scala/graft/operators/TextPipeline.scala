@@ -370,15 +370,17 @@ object TextPipeline {
 
     // Plain-text round-trip (4th format family after csv/json/orc): lines
     // are key|text records; the read side parses them back with split_part.
-    // NULL text is skipped on the write side — a line format has no NULL
-    // representation (concat(id, '|', NULL) is NULL, the text writer emits
-    // an empty line, and the read-back cast('' AS BIGINT) throws under
-    // ANSI); an export pipeline drops textless records at the boundary.
+    // Boundary contract of a line format (one line = one record, no NULL
+    // representation): NULL text is skipped and embedded CR/LF runs are
+    // normalized to a single space on export — a raw newline would split
+    // the record and the continuation line's cast('' AS BIGINT) throws
+    // under ANSI. Lossless round-trips are the csv/json/orc families.
     "scan_text_rt" -> Q(
       (s, d) => {
         val tmp = graft.Scratch.dir(s, "txt")
         D(s, d).where(col("text").isNotNull)
-          .select(concat(col("doc_id"), lit("|"), col("text")).as("value"))
+          .select(concat(col("doc_id"), lit("|"),
+            regexp_replace(col("text"), "[\\r\\n]+", " ")).as("value"))
           .write.mode("overwrite").text(tmp)
         s.read.text(tmp)
           .select(
@@ -386,7 +388,8 @@ object TextPipeline {
             expr("substring(value, instr(value, '|') + 1)").as("text"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, text FROM documents
+      Some("""SELECT doc_id, regexp_replace(text, '[\r\n]+', ' ', 'g') AS text
+              FROM documents
               WHERE text IS NOT NULL ORDER BY doc_id"""))
   )
 }

@@ -245,6 +245,46 @@ class OperatorSuite extends SparkSpec {
         SparkEntry.queries(k)(spark, dir).collect())
   }
 
+  test("text family survives adversarial document content") {
+    // Embedded newlines, the scan_text_rt field delimiter, backslashes,
+    // regex metacharacters, CJK/emoji, and a null text row — all normal
+    // in a scraped corpus, none present in any driver fixture.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_advdoc").toString
+    Seq(
+      (1L, "line one\nline two\r\nline three", "en", "web"),
+      (2L, "pipes | in | text", "en", "web"),
+      (3L, "back\\slash and \"quotes\" and 'ticks'", "en", "web"),
+      (4L, "漢字 テキスト и кириллица 🙂🚀", "ja", "web"),
+      (5L, null, "en", "web"),
+      (6L, "regex (meta) [chars] {here} .* +? ^$", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // scan_text_rt: the line-format boundary contract — NULL text dropped,
+    // CR/LF runs normalized to one space, everything else byte-exact.
+    val rt = SparkEntry.queries("scan_text_rt")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rt.keySet == Set(1L, 2L, 3L, 4L, 6L))
+    assert(rt(1L) == "line one line two line three")
+    assert(rt(2L) == "pipes | in | text")
+    assert(rt(3L) == "back\\slash and \"quotes\" and 'ticks'")
+    assert(rt(4L) == "漢字 テキスト и кириллица 🙂🚀")
+    assert(rt(6L) == "regex (meta) [chars] {here} .* +? ^$")
+
+    for (k <- Seq("text_tokens", "text_ngrams", "text_chunk", "text_quality",
+                  "text_fingerprint", "text_langid", "text_entropy",
+                  "text_lang_stats", "text_minhash", "text_normalize",
+                  "text_stem", "text_url", "text_html", "text_pii",
+                  "filter_c4", "text_repetition",
+                  "dedup_exact", "dedup_simhash", "dedup_lsh", "dedup_ngram",
+                  "dedup_near", "dedup_edit", "dedup_span",
+                  "text_collocation", "text_tfidf", "text_decontaminate"))
+      withClue(s"$k on adversarial corpus: ")(
+        SparkEntry.queries(k)(spark, dir).collect())
+  }
+
   test("ts_cohort: activity weeks never precede the cohort week") {
     val rows = SparkEntry.queries("ts_cohort")(spark, sf).collect()
     assert(rows.nonEmpty)
