@@ -72,6 +72,60 @@ class StreamingDedupSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("doc-stream operators survive degenerate documents, batch-parity") {
+    // The streaming twins of the batch short-doc/NULL sweeps: null text,
+    // empty text, single token, embedded newlines, CJK — all normal in a
+    // live ingestion feed, none in any driver fixture. Each doc-consuming
+    // streaming op must complete, and the incremental result must equal
+    // the same function over a static read of the same data.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sdegen").toString
+    Seq(
+      (1L, "line one\nline two", "en", "web"),
+      (2L, null.asInstanceOf[String], "en", "web"),
+      (3L, "", "en", "web"),
+      (4L, "hello", "en", "web"),
+      (5L, "漢字 テキスト 🙂", "ja", "web"),
+      (6L, (1 to 60).map("w" + _).mkString(" "), "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    def parity(name: String, fn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val sink = s"sdegen_$name"
+      val q = fn(Streams.documentsSource(spark, dir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(if (name == "bigrams") "complete" else "append").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table(sink).collect().map(_.toString).sorted.toSeq
+        val static = fn(spark.read.parquet(dir)).collect()
+          .map(_.toString).sorted.toSeq
+        assert(streamed == static, s"$name diverged on degenerate docs")
+      } finally q.stop()
+    }
+    parity("chunks", Streams.chunkStream)
+    parity("pii", Streams.piiStream)
+    parity("ndedup", Streams.normalizeDedup)
+    parity("bigrams", Streams.bigramCounts)
+
+    // spanAccounting is transformWithState (no batch execution) — the
+    // contract here is completion without throwing on degenerate docs.
+    // The Spark 4 arbitrary-state API runs on the RocksDB state store only.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = Streams.spanAccounting(Streams.documentsSource(spark, dir))
+      .writeStream.format("memory").queryName("sdegen_spans")
+      .outputMode("update").start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("chained stateful ops: dedup then windowed agg in ONE streaming query") {
     // Spark 4 runs multiple stateful operators in one append-mode query
     // (dropDuplicates state feeding windowed-agg state) — the continuous
