@@ -111,6 +111,64 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  private val corpusGen: Gen[List[String]] = Gen.nonEmptyListOf(
+    Gen.chooseNum(1, 100).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dd", "e", "fff"))
+        .map(_.mkString(" "))))
+
+  private def writeDocs(texts: List[String], tag: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "web") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("text_chunk chunks reconstruct every document at any token count") {
+    // Sliding windows of 40 tokens every 30: taking the first stride
+    // tokens of each chunk except the last (all of it) must rebuild the
+    // document exactly, and the chunk count is floor((nt-1)/30)+1 — for
+    // ANY generated corpus, not just the fixtures.
+    forSamples(corpusGen, n = 3) { texts =>
+      val chunks = SparkEntry.queries("text_chunk")(spark,
+          writeDocs(texts, "graft_prop_chunk")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk_text")))
+        .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+      for ((t, i) <- texts.zipWithIndex) {
+        val toks = t.split(" ").toSeq
+        val cs = chunks(i.toLong)
+        assert(cs.length == (toks.length - 1) / 30 + 1)
+        val rebuilt =
+          cs.init.flatMap(_._3.split(" ").take(30)) ++ cs.last._3.split(" ")
+        assert(rebuilt.toSeq == toks, s"doc $i failed to reconstruct")
+      }
+    }
+  }
+
+  test("text_minhash depends only on the token set, and stays in-modulus") {
+    // A MinHash signature is a function of the token SET: reversing the
+    // token order and doubling every token must not change it. Pairs each
+    // generated doc with its reversed+duplicated twin and compares.
+    forSamples(corpusGen, n = 3) { texts =>
+      val twins = texts.map { t =>
+        val toks = t.split(" "); (toks.reverse ++ toks).mkString(" ")
+      }
+      val sig = SparkEntry.queries("text_minhash")(spark,
+          writeDocs(texts ++ twins, "graft_prop_mh")).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (1 to 4).map(c => r.getLong(c))).toMap
+      for (i <- texts.indices) {
+        assert(sig(i.toLong) == sig((texts.length + i).toLong),
+          s"doc $i: signature is not order/multiplicity-free")
+        assert(sig(i.toLong).forall(v => v >= 0 && v < 1000000007L))
+      }
+    }
+  }
+
   test("NIfTI-1 encode→decode round-trips stats for any volume and dims") {
     import graft.operators.Multimodal.{NiftiBlob, encodeNifti, decodeNiftiPartition}
     val volGen = for {
