@@ -24,6 +24,37 @@ class ScaleSuite extends SparkSpec {
     assert(pruned.count() < all && pruned.count() > 0)
   }
 
+  test("hot bucket: a viral boilerplate group dedups correctly") {
+    // The hot-key shape of a scraped corpus: one boilerplate text mirrored
+    // 40x (all landing in ONE dedup block/bucket) among 60 distinct docs.
+    // Pair-listing ops emit exactly C(40,2) intra-group pairs — the output
+    // itself is quadratic in group size, which is why the 100 TB path is
+    // the cluster representation — and dedup_cluster collapses the clique
+    // to one min-labeled component in O(1) rounds. dedup_exact keeps one
+    // representative.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    val boiler = "the same mirrored boilerplate text repeated on every site"
+    val docs =
+      (0L until 40L).map(i => (i, boiler, "en", "web")) ++
+      (100L until 160L).map(i =>
+        (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val near = SparkEntry.queries("dedup_near")(spark, dir).collect()
+    assert(near.length == 40 * 39 / 2)
+    assert(near.forall(r =>
+      r.getAs[Long]("ia") < 40 && r.getAs[Long]("ib") < 40))
+
+    val cl = SparkEntry.queries("dedup_cluster")(spark, dir).collect()
+    assert(cl.length == 40)
+    assert(cl.forall(_.getAs[Long]("cluster_id") == 0L))
+
+    assert(SparkEntry.queries("dedup_exact")(spark, dir).count() == 61L)
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     // events.user_id is the skew stand-in; salt by 8, partial agg, de-salt
     val e = Tables.t(spark, sf, "events")
