@@ -117,9 +117,40 @@ object Scratch {
   * in DuckDB — the float result differs in low bits and no rounding scale is
   * fully safe. Instead both sides sum exactly in DECIMAL(38,6) and cast the
   * (identical) decimal back to DOUBLE: bit-identical, no rounding games.
+  *
+  * Non-finite inputs: Spark's `CAST(double AS DECIMAL)` yields NULL for
+  * NaN/±Infinity even under ANSI mode, so a decimal-only sum would silently
+  * DROP those rows — sum([1, 2, NaN]) = 3.0, and a mean/stddev whose count
+  * still includes them is garbage. Real metric feeds carry NaN (0/0
+  * upstream) and Inf (overflowed counters), so every helper here carries a
+  * non-finite flag aggregate and falls back to IEEE propagation when it
+  * fires: any NaN (or both infinities) → NaN, a lone ±Inf → ±Inf. The
+  * selected branch is order-independent either way — non-finite values
+  * dominate plain double addition regardless of partitioning — so results
+  * stay deterministic at any cluster size. Finite groups are bit-identical
+  * to the old decimal-only formulation; oracle fragments mirror the CASE.
+  * Finite values beyond DECIMAL(38,6) range (|x| ≥ 1e32) still throw an
+  * attributable ANSI overflow — out of contract for money/metric columns.
   */
 object Par {
   private val D = "decimal(38,6)"
+
+  /** True iff the (possibly NULL) double is NaN or ±Infinity. */
+  private def nonFinite(c: Column): Column =
+    isnan(c) || abs(c) === lit(Double.PositiveInfinity)
+
+  /** Group-level flag: any non-finite value present (NULLs don't count). */
+  private def anyNonFinite(c: Column): Column =
+    max(when(nonFinite(c), 1).otherwise(0)) === 1
+
+  /** Exact decimal sum over the finite rows only (non-finite handled by the
+    * caller's IEEE branch; the `when` keeps the contract explicit rather
+    * than leaning on cast-to-NULL behavior). */
+  private def finiteDecSum(c: Column): Column =
+    sum(when(!nonFinite(c), c).cast(D)).cast("double")
+
+  private val ONF =
+    "max(CASE WHEN isnan(%s) OR isinf(%s) THEN 1 ELSE 0 END) = 1"
 
   /** Lineage truncation at iterative-loop boundaries (connected components,
     * PageRank, candidate-pair reuse). `localCheckpoint` is the right
@@ -146,22 +177,37 @@ object Par {
       else df.localCheckpoint()
   }
 
-  /** Exact decimal sum, emitted as double. */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** Exact decimal sum, emitted as double; IEEE NaN/Inf propagation when
+    * any non-finite value is present (see object scaladoc). */
+  def dsum(c: Column): Column =
+    when(anyNonFinite(c), sum(c)).otherwise(finiteDecSum(c))
 
   /** Epoch µs of an NTZ timestamp (session TZ is UTC, so the LTZ cast is
     * value-preserving); matches DuckDB's epoch_us(). */
   def usec(c: Column): Column = unix_micros(c.cast("timestamp"))
 
   /** Exact-sum mean, emitted as double (double/long division is IEEE-identical
-    * on both engines). Only for non-null columns. */
-  def davg(c: Column): Column = dsum(c) / count(c)
+    * on both engines). Only for non-null columns. Non-finite inputs poison
+    * the mean to the IEEE result (NaN, or ±Inf for a lone infinity). */
+  def davg(c: Column): Column =
+    when(anyNonFinite(c), sum(c) / count(c))
+      .otherwise(finiteDecSum(c) / count(c))
 
   /** Oracle fragment matching [[dsum]]. */
-  def oSum(x: String): String = s"CAST(sum(CAST(($x) AS DECIMAL(38,6))) AS DOUBLE)"
+  def oSum(x: String): String = {
+    val nf = ONF.format(x, x)
+    s"(CASE WHEN $nf THEN sum($x) ELSE " +
+      s"CAST(sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
+      s"THEN CAST(($x) AS DECIMAL(38,6)) END) AS DOUBLE) END)"
+  }
 
   /** Oracle fragment matching [[davg]]. */
-  def oAvg(x: String): String = s"(${oSum(x)} / count($x))"
+  def oAvg(x: String): String = {
+    val nf = ONF.format(x, x)
+    s"(CASE WHEN $nf THEN sum($x) / count($x) ELSE " +
+      s"CAST(sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
+      s"THEN CAST(($x) AS DECIMAL(38,6)) END) AS DOUBLE) / count($x) END)"
+  }
 
   /** Sample stddev of a 2-dp money column via exact SCALE-0 decimal moments
     * in cents: sqrt((ss - s*s/n)/(n-1))/100 with the outer arithmetic in
@@ -176,18 +222,25 @@ object Par {
   private val StdOffsetCents = 5000000L
 
   def dstd(c: Column): Column = {
-    val dc = ((c * lit(100)).cast("decimal(19,0)") - lit(StdOffsetCents))
+    val dc = ((when(!nonFinite(c), c) * lit(100)).cast("decimal(19,0)") -
+      lit(StdOffsetCents))
     val n = count(c).cast("double")
     val s = sum(dc).cast("double")
     val ss = sum(dc * dc).cast("double")
-    sqrt((ss - s * s / n) / (n - lit(1.0))) / lit(100.0)
+    // IEEE stddev with any NaN/Inf deviation is NaN (Inf² − Inf² = NaN);
+    // emit it directly instead of moments that disagree on n.
+    when(anyNonFinite(c), lit(Double.NaN))
+      .otherwise(sqrt((ss - s * s / n) / (n - lit(1.0))) / lit(100.0))
   }
 
   def oStd(x: String): String = {
-    val dc = s"(CAST(($x)*100 AS DECIMAL(19,0)) - $StdOffsetCents)"
+    val fin = s"(CASE WHEN NOT (isnan($x) OR isinf($x)) THEN ($x) END)"
+    val dc = s"(CAST($fin*100 AS DECIMAL(19,0)) - $StdOffsetCents)"
     val n = s"CAST(count($x) AS DOUBLE)"
     val s = s"CAST(sum($dc) AS DOUBLE)"
     val ss = s"CAST(sum($dc * $dc) AS DOUBLE)"
-    s"(sqrt(($ss - $s*$s/$n)/($n - 1.0)) / 100.0)"
+    val nf = ONF.format(x, x)
+    s"(CASE WHEN $nf THEN CAST('NaN' AS DOUBLE) " +
+      s"ELSE (sqrt(($ss - $s*$s/$n)/($n - 1.0)) / 100.0) END)"
   }
 }
