@@ -16,22 +16,44 @@ package graft
   */
 class PartitionInvarianceSuite extends SparkSpec {
 
-  test("every query is bit-identical under a different shuffle-partition count") {
-    // Isolated SQL conf, shared SparkContext: suites run concurrently in
-    // this JVM, so never mutate the shared session's conf.
+  private lazy val base = GoldenGen.snapshot(spark, sf)
+
+  /** Run the full inventory in an isolated `newSession()` (suites share
+    * this JVM's session concurrently — never mutate its conf) and assert
+    * per-query (rowCount, content hash) equality with the default run. */
+  private def assertInvariant(tag: String)(confs: (String, String)*): Unit = {
     val alt = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "7") // co-prime with 32
-    alt.conf.set("spark.sql.adaptive.enabled", "false")
-
-    val base = GoldenGen.snapshot(spark, sf)
+    confs.foreach { case (k, v) => alt.conf.set(k, v) }
     val moved = GoldenGen.snapshot(alt, sf)
-
     assert(moved.keySet == base.keySet)
     val diverged = base.keys.toSeq.sorted.filter(k => base(k) != moved(k))
     diverged.foreach { k =>
-      info(s"PARTITION-DIVERGENCE $k: base=${base(k)} alt=${moved(k)}")
+      info(s"$tag-DIVERGENCE $k: base=${base(k)} alt=${moved(k)}")
     }
     assert(diverged.isEmpty,
-      s"output depends on shuffle partitioning: ${diverged.mkString(", ")}")
+      s"output depends on $tag: ${diverged.mkString(", ")}")
+  }
+
+  test("every query is bit-identical under a different shuffle-partition count") {
+    assertInvariant("PARTITION")(
+      "spark.sql.shuffle.partitions" -> "7", // co-prime with 32
+      "spark.sql.adaptive.enabled" -> "false")
+  }
+
+  test("every query is bit-identical with whole-stage codegen disabled") {
+    // Interpreted eval vs doGenCode is two implementations of every
+    // expression — divergence in a custom Catalyst expression (e.g. the
+    // fused cosine_sim) or a subtle builtin-misuse would surface here.
+    assertInvariant("CODEGEN")(
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+  }
+
+  test("every query is bit-identical with auto-broadcast disabled") {
+    // The "dimension too big to broadcast" regime at 100 TB: every join
+    // falls back to shuffle/sort-merge. Join results (incl. outer-join
+    // NULL rows and semi/anti semantics) must not depend on strategy.
+    assertInvariant("JOINSTRAT")(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
   }
 }
