@@ -55,6 +55,50 @@ class ScaleSuite extends SparkSpec {
     assert(SparkEntry.queries("dedup_exact")(spark, dir).count() == 61L)
   }
 
+  test("hot user: one user holding ~95% of events sessionizes correctly") {
+    // The power-law shape of any real event stream: a bot/whale user whose
+    // per-user partition dwarfs every other. All per-user state here
+    // (window partitions, collect_list funnels) is bounded by per-user
+    // activity — this pins that a pathological-but-realistic hot key gets
+    // the RIGHT answer, and that the whole ts_* family survives the skew.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hotuser").toString
+    val t0 = 1767225600000000L // 2026-01-01T00:00Z in µs
+    val types = Array("view", "click", "purchase")
+    // hot user 1: 5,000 events 10 s apart (no 30-min gap → ONE session),
+    // cycling view→click→purchase (completes the funnel)
+    val hot = (0 until 5000).map { i =>
+      (i.toLong, t0 + i * 10000000L, 1L, types(i % 3), i.toDouble, """{"k": 1}""")
+    }
+    // 50 cold users: 6 view-only events 1 h apart (every gap > 30 min →
+    // six 1-event sessions each; they drop out of the funnel at stage 1)
+    val cold = for (u <- 100L until 150L; i <- 0 until 6) yield
+      (100000L + u * 10 + i, t0 + i * 3600000000L, u, "view", 1.0, """{"k": 2}""")
+    (hot ++ cold).toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val sess = SparkEntry.queries("ts_session")(spark, dir).collect()
+    assert(sess.length == 1 + 50 * 6, s"got ${sess.length} sessions")
+    val hotSess = sess.filter(_.getAs[Long]("user_id") == 1L)
+    assert(hotSess.length == 1)
+    assert(hotSess.head.getAs[Long]("n_events") == 5000L)
+    assert(hotSess.head.getAs[Long]("duration_us") == 4999L * 10000000L)
+
+    val fun = SparkEntry.queries("ts_funnel")(spark, dir).head
+    assert(fun.getAs[Long]("n_view_users") == 51L)
+    assert(fun.getAs[Long]("n_click_users") == 1L)
+    assert(fun.getAs[Long]("n_purchase_users") == 1L)
+
+    // the rest of the family must survive the same skew
+    val failures = graft.operators.TimeSeries.defs.keys.toSeq.sorted.flatMap { k =>
+      try { SparkEntry.queries(k)(spark, dir).collect(); None }
+      catch { case e: Throwable => Some(s"$k: ${e.getClass.getSimpleName}") }
+    }
+    assert(failures.isEmpty, failures.mkString(", "))
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     // events.user_id is the skew stand-in; salt by 8, partial agg, de-salt
     val e = Tables.t(spark, sf, "events")
