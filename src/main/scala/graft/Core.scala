@@ -182,6 +182,28 @@ object Par {
   def dsum(c: Column): Column =
     when(anyNonFinite(c), sum(c)).otherwise(finiteDecSum(c))
 
+  /** Per-frame flag: any non-finite value inside the window frame. */
+  def anyNfOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    max(when(nonFinite(c), 1).otherwise(0)).over(w) === 1
+
+  /** Oracle fragment matching [[anyNfOver]]; `win` is the WINDOW name. */
+  def oNfOver(x: String, win: String): String =
+    s"max(CASE WHEN isnan($x) OR isinf($x) THEN 1 ELSE 0 END) OVER $win = 1"
+
+  /** Windowed [[dsum]]: same exact-decimal/IEEE-fallback contract, per
+    * frame. A CASE of two window expressions over the same spec is a
+    * single window pass in Spark's Window exec. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    when(anyNfOver(c, w), sum(c).over(w))
+      .otherwise(sum(when(!nonFinite(c), c).cast(D)).over(w).cast("double"))
+
+  /** Oracle fragment matching [[dsumOver]]; `win` is the WINDOW name. */
+  def oSumOver(x: String, win: String): String =
+    s"(CASE WHEN max(CASE WHEN isnan($x) OR isinf($x) THEN 1 ELSE 0 END) " +
+      s"OVER $win = 1 THEN sum($x) OVER $win ELSE " +
+      s"CAST(sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
+      s"THEN CAST(($x) AS DECIMAL(38,6)) END) OVER $win AS DOUBLE) END)"
+
   /** Epoch µs of an NTZ timestamp (session TZ is UTC, so the LTZ cast is
     * value-preserving); matches DuckDB's epoch_us(). */
   def usec(c: Column): Column = unix_micros(c.cast("timestamp"))

@@ -516,25 +516,34 @@ object TimeSeries {
           usec(col("ts")).as("t"))
           .select(col("event_type"), col("event_id"),
             row_number().over(ord).as("rn"),
-            expr("percentile(value, 0.5)").over(w7).as("roll_med"),
+            // a frame containing NaN/Inf has no meaningful interpolated
+            // median — poison to NaN (DuckDB 1.0's windowed quantile_cont
+            // CRASHES on NaN frames, so the oracle masks non-finite input
+            // and replays the same poison CASE); min/max need no guard:
+            // both engines order NaN largest
+            when(anyNfOver(col("value"), w7), lit(Double.NaN))
+              .otherwise(expr("percentile(value, 0.5)").over(w7))
+              .as("roll_med"),
             min("value").over(w7).as("roll_min"),
             max("value").over(w7).as("roll_max"),
-            sum(col("value").cast("decimal(38,6)")).over(w7)
-              .cast("double").as("roll_sum"))
+            dsumOver(col("value"), w7).as("roll_sum"))
           .where(col("rn") >= 7)
           .select("event_type", "event_id", "roll_med", "roll_min",
             "roll_max", "roll_sum")
           .orderBy("event_type", "event_id")
       },
-      Some("""SELECT event_type, event_id, roll_med, roll_min, roll_max, roll_sum
+      Some(s"""SELECT event_type, event_id, roll_med, roll_min, roll_max, roll_sum
               FROM (
                 SELECT event_type, event_id,
                        row_number() OVER wo AS rn,
-                       quantile_cont(value, 0.5) OVER w7 AS roll_med,
+                       CASE WHEN ${oNfOver("value", "w7")}
+                            THEN CAST('NaN' AS DOUBLE)
+                            ELSE quantile_cont(CASE WHEN NOT (isnan(value)
+                                   OR isinf(value)) THEN value END, 0.5)
+                                 OVER w7 END AS roll_med,
                        min(value) OVER w7 AS roll_min,
                        max(value) OVER w7 AS roll_max,
-                       CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w7 AS DOUBLE)
-                         AS roll_sum
+                       ${oSumOver("value", "w7")} AS roll_sum
                 FROM events
                 WINDOW wo AS (PARTITION BY event_type
                               ORDER BY epoch_us(ts), event_id),

@@ -41,6 +41,27 @@ class NonFiniteInputSuite extends SparkSpec {
     dir
   }
 
+  test("declared aggregates PROPAGATE non-finite values, never drop them") {
+    // The silent failure mode this family guards against: decimal-cast
+    // sums turning NaN rows into NULLs and reporting a confident finite
+    // total. ts_tumbling buckets containing a poisoned event must emit a
+    // NaN/Inf sum_value while counts stay exact (1,000 events total).
+    val r = SparkEntry.queries("ts_tumbling")(spark, nfDir).collect()
+    assert(r.map(_.getAs[Long]("n")).sum == 1000L)
+    val sums = r.map(_.getAs[Double]("sum_value"))
+    assert(sums.exists(_.isNaN), "no NaN bucket — non-finite rows were dropped")
+    assert(sums.exists(v => !v.isNaN && !v.isInfinite), "no clean bucket")
+
+    // rolling frames: a frame touching a poisoned event yields NaN median
+    // and a non-finite rolling sum; clean frames stay exact
+    val roll = SparkEntry.queries("ts_rolling")(spark, nfDir).collect()
+    assert(roll.map(_.getAs[Double]("roll_med")).exists(_.isNaN))
+    assert(roll.map(_.getAs[Double]("roll_sum"))
+      .exists(v => v.isNaN || v.isInfinite))
+    assert(roll.map(_.getAs[Double]("roll_sum"))
+      .exists(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("every declared query survives NaN/Infinity measure values") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (k, fn) =>
