@@ -90,6 +90,32 @@ class PropertySuite extends SparkSpec {
     }
   }
 
+  test("dsum matches a driver-side reference for any mix incl. NaN/Inf") {
+    // The full contract in one law: all-finite lists sum exactly in
+    // decimal(38,6) (Spark's cast = shortest-decimal then HALF_UP at
+    // scale 6); any non-finite member flips to IEEE propagation. Both
+    // branches must be partition-count invariant.
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.chooseNum(-1e6, 1e6),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity)))
+    forSamples(gen, n = 8) { xs =>
+      if (xs.nonEmpty) {
+        import spark.implicits._
+        val df = xs.toDF("v")
+        val ref =
+          if (xs.exists(x => x.isNaN || x.isInfinite)) xs.sum
+          else xs.map(x => BigDecimal.decimal(x)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+        for (p <- Seq(1, 7)) {
+          val got = df.repartition(p).agg(Par.dsum(col("v"))).head.getDouble(0)
+          assert(java.lang.Double.compare(got, ref) == 0,
+            s"p=$p got=$got ref=$ref xs=${xs.take(12)}")
+        }
+      }
+    }
+  }
+
   test("session count never exceeds event count and is ≥ 1 per active user") {
     forSamples(Gen.listOf(Gen.zip(Gen.chooseNum(0L, 5L),
       Gen.chooseNum(0L, 100000L)))) { xs =>
