@@ -897,7 +897,8 @@ object Relational {
                      CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT)))
                           AS BIGINT) AS n_slots,
                      count(DISTINCT user_id % 60) AS n_exact
-              FROM events GROUP BY event_type ORDER BY event_type""")),
+              FROM events GROUP BY event_type
+              ORDER BY event_type NULLS FIRST""")),
 
     // ------------------------------------------- CDC / sampling / layout
 

@@ -197,8 +197,13 @@ object Scalar {
         .select(col("event_id"), col("st.id").as("xid"), col("xtype"),
           col("st.v").as("xval"))
         .orderBy("event_id"),
-      Some("""SELECT event_id, event_id AS xid, event_type AS xtype,
-                     value AS xval
+      Some("""SELECT event_id,
+                     CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
+                          ELSE event_id END AS xid,
+                     CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
+                          ELSE event_type END AS xtype,
+                     CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
+                          ELSE value END AS xval
               FROM events WHERE event_id % 50 = 0 ORDER BY event_id""")),
 
     // Map build + lookup on the Spark side; the oracle checks the looked-up
@@ -302,17 +307,19 @@ object Scalar {
           array_position(col("t"), "the").as("the_pos"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(range(1, len(t) + 1),
-                         i -> CAST(length(t[i]) * length(t[len(t) - i + 1])
-                                   AS BIGINT))),
-                       (a, x) -> a + x) AS zip_dot,
+                     CASE WHEN t IS NULL THEN NULL ELSE
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, len(t) + 1),
+                           i -> CAST(length(t[i]) * length(t[len(t) - i + 1])
+                                     AS BIGINT))),
+                         (a, x) -> a + x) END AS zip_dot,
                      CAST(len(list_intersect(list_distinct(t),
                        ['the', 'a', 'data', 'model'])) AS BIGINT) AS n_common,
                      CAST(len(list_filter(list_distinct(t),
                        x -> x NOT IN ('the', 'a'))) AS BIGINT) AS n_rest,
                      list_has_any(t, ['the', 'qqq']) AS has_any,
-                     CAST(coalesce(list_position(t, 'the'), 0) AS BIGINT)
+                     CASE WHEN t IS NULL THEN NULL ELSE
+                       CAST(coalesce(list_position(t, 'the'), 0) AS BIGINT) END
                        AS the_pos
               FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
               ORDER BY doc_id""")),

@@ -74,11 +74,16 @@ object Similarity {
               WHERE rn <= $K ORDER BY pid, rn""")),
 
     // kNN majority-vote label per probe (count desc, label asc tiebreak).
+    // Unlabeled (NULL-label) neighbors do not vote — without the filter a
+    // NULL group wins Spark's asc-nulls-first tiebreak and loses DuckDB's
+    // nulls-last one. A probe whose entire top-K is unlabeled is emitted
+    // by neither engine (no prediction).
     "sim_knn_label" -> Q(
       (s, d) => {
         val w = Window.partitionBy("pid")
           .orderBy(col("votes").desc, col("label").asc)
         topk(s, d)
+          .where(col("label").isNotNull)
           .groupBy("pid", "label")
           .agg(count(lit(1)).as("votes"))
           .withColumn("vr", row_number().over(w))
@@ -89,7 +94,7 @@ object Similarity {
       Some(s"""WITH $oTopk,
               votes AS (
                 SELECT pid, label, count(*) AS votes FROM ranked
-                WHERE rn <= $K GROUP BY pid, label)
+                WHERE rn <= $K AND label IS NOT NULL GROUP BY pid, label)
               SELECT pid, label AS pred_label, votes FROM (
                 SELECT pid, label, votes,
                        row_number() OVER (PARTITION BY pid

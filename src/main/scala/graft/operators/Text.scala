@@ -270,8 +270,13 @@ object Text {
     // and no countDistinct expand at 100 TB).
     "text_tfidf" -> Q(
       (s, d) => {
-        val tok = D(s, d).select(col("source"), explode(toks).as("token"))
-        val nSrc = D(s, d).agg(countDistinct("source").as("n_src"))
+        // NULL-source docs are excluded: a per-source analysis can't
+        // attribute them, and keeping them in tf would count the NULL
+        // group as a source in df while countDistinct(n_src) excludes it —
+        // df > n_src ⇒ negative idf (the NULL-vintage parity run's find)
+        val src = D(s, d).where(col("source").isNotNull)
+        val tok = src.select(col("source"), explode(toks).as("token"))
+        val nSrc = src.agg(countDistinct("source").as("n_src"))
         val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
           .iterCheckpoint()
         val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -287,10 +292,11 @@ object Text {
       },
       Some("""WITH tok AS (
                 SELECT source, unnest(string_split(text, ' ')) AS token
-                FROM documents),
+                FROM documents WHERE source IS NOT NULL),
               tf AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
               df AS (SELECT token, count(DISTINCT source) AS df FROM tok GROUP BY 1),
-              n AS (SELECT count(DISTINCT source) AS n_src FROM documents)
+              n AS (SELECT count(DISTINCT source) AS n_src FROM documents
+                    WHERE source IS NOT NULL)
               SELECT source, token, score, rn FROM (
                 SELECT tf.source, tf.token,
                        round(tf * ln(CAST(n_src AS DOUBLE) / df), 6) AS score,
@@ -315,7 +321,8 @@ object Text {
                      ${oAvg("n_chars")} AS avg_chars,
                      min(n_chars) AS min_chars,
                      max(n_chars) AS max_chars
-              FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+              FROM documents GROUP BY lang, source
+              ORDER BY lang NULLS FIRST, source NULLS FIRST""")),
 
     // Quality scoring: token stats + stopword ratio + a composite score.
     // All integer/ratio arithmetic → exact parity.
@@ -361,10 +368,11 @@ object Text {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-                     list_reduce(list_prepend(CAST(0 AS BIGINT),
-                       list_transform(string_split(text, ' '),
-                         t -> CAST(ascii(substring(t, 1, 1)) * 100 + length(t) AS BIGINT))),
-                       (h, v) -> (h * 31 + v) % 1000000007) AS fp
+                     CASE WHEN text IS NULL THEN NULL ELSE
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(string_split(text, ' '),
+                           t -> CAST(ascii(substring(t, 1, 1)) * 100 + length(t) AS BIGINT))),
+                         (h, v) -> (h * 31 + v) % 1000000007) END AS fp
               FROM documents ORDER BY doc_id""")),
 
     // SimHash fingerprint: 16-bit weighted-majority over per-token hashes
@@ -451,10 +459,10 @@ object Text {
                     FROM c)
               SELECT source,
                      round(list_reduce(list_prepend(0.0,
-                       list_transform(list(p ORDER BY lang), q -> -q * ln(q))),
+                       list_transform(list(p ORDER BY lang NULLS FIRST), q -> -q * ln(q))),
                        (a, x) -> a + x), 6) AS entropy,
                      count(*) AS n_langs
-              FROM p GROUP BY source ORDER BY source""")),
+              FROM p GROUP BY source ORDER BY source NULLS FIRST""")),
 
     // N-gram-Jaccard near-dup: 3-token shingles, document-frequency-pruned
     // (df ≤ 20 — hot shingles like function words never join), then the

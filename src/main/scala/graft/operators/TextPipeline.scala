@@ -277,9 +277,11 @@ object TextPipeline {
           expr("parse_url(url, 'QUERY', 'lang')").as("qlang"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-                     source || '.example.com' AS host,
-                     '/docs/' || doc_id AS path,
-                     lang AS qlang
+                     CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                          ELSE source || '.example.com' END AS host,
+                     CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                          ELSE '/docs/' || doc_id END AS path,
+                     CASE WHEN source IS NULL THEN NULL ELSE lang END AS qlang
               FROM documents ORDER BY doc_id""")),
 
     // Span-level intra-corpus dedup accounting (Dolma-style paragraph

@@ -52,7 +52,8 @@ object TimeSeries {
         .orderBy("bucket", "event_type"),
       Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
                      count(*) AS n, ${oSum("value")} AS sum_value
-              FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""")),
+              FROM events GROUP BY 1, 2
+              ORDER BY bucket, event_type NULLS FIRST""")),
 
     // Sliding windows (1 h every 15 min): each event lands in 4 windows.
     // Oracle replays the same assignment with integer µs bucket math.
@@ -66,7 +67,8 @@ object TimeSeries {
                        AS w_start,
                      event_type, count(*) AS n
               FROM events, unnest([0, 1, 2, 3]) AS t(i)
-              GROUP BY 1, 2 ORDER BY w_start, event_type""")),
+              GROUP BY 1, 2
+              ORDER BY w_start, event_type NULLS FIRST""")),
 
     // Sessionization: >30 min gap starts a new session (lag → boundary flag
     // → running count). Streaming twin: session_window(ts, '30 minutes').
@@ -126,7 +128,8 @@ object TimeSeries {
               FROM events
               WHERE epoch_us(ts) >= (SELECT max(epoch_us(ts)) - 21600000000
                                      FROM events)
-              GROUP BY event_type ORDER BY event_type""")),
+              GROUP BY event_type
+              ORDER BY event_type NULLS FIRST""")),
 
     // Z-score anomaly detection: per-type mean/std from exact decimal sums
     // (broadcast back to the stream), flag |z| > 3. Identical doubles in →
@@ -201,7 +204,7 @@ object TimeSeries {
                 FROM spine CROSS JOIN types
                 LEFT JOIN counts ON counts.h = spine.h
                                 AND counts.event_type = types.event_type)
-              ORDER BY bucket, event_type""")),
+              ORDER BY bucket, event_type NULLS FIRST""")),
 
     // Exponentially-weighted moving value per event (10-term, α=0.5),
     // written as an explicit left-associated lag chain: the weights are
@@ -375,7 +378,14 @@ object TimeSeries {
           .orderBy(col("eid").desc)
         val ord = Window.partitionBy("user_id")
           .orderBy(col("t"), col("eid"))
-        E(s, d).select(col("user_id"), usec(col("ts")).as("t"),
+        // NULL-valued events are non-observations: they must not anchor an
+        // interpolation interval (Spark would flatline past them while the
+        // oracle's IGNORE NULLS interpolates across — the NULL-vintage
+        // parity find) nor widen the per-user grid span; dropped on BOTH
+        // engines before everything else. ts_backfill deliberately keeps
+        // them (both its engines agree): an unobserved interval ffills NULL.
+        E(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), usec(col("ts")).as("t"),
             col("value").as("v"), col("event_id").as("eid"))
           .withColumn("rd", row_number().over(dedup))
           .where(col("rd") === 1)
@@ -404,7 +414,7 @@ object TimeSeries {
       Some("""WITH ev AS (
                 SELECT user_id, epoch_us(ts) AS t, value AS v, event_id AS eid,
                        epoch_us(ts) AS tv, 0 AS is_grid
-                FROM events),
+                FROM events WHERE value IS NOT NULL),
               span AS (
                 SELECT user_id, (min(t) + 3599999999) // 3600000000 AS gs,
                        max(t) // 3600000000 AS ge
@@ -551,6 +561,6 @@ object TimeSeries {
                               ORDER BY epoch_us(ts), event_id
                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
               WHERE rn >= 7
-              ORDER BY event_type, event_id"""))
+              ORDER BY event_type NULLS FIRST, event_id"""))
   )
 }

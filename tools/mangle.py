@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Build degenerate-vintage copies of an sf directory for oracle-parity runs.
+
+Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
+
+Produces three full 10-table vintages under <outBaseDir>/:
+  nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
+  nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
+              n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
+              (event_id%11/13/17), NULL embeddings label (vec_id%11)
+  hotuser/    events replaced by a power-law stream: user 1 holds 5,000
+              events 10s apart (one session, completes the funnel); 50 cold
+              users hold 6 hourly view-only events each
+
+Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
+  sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
+  python3 tools/check.py <outBaseDir>/<vintage> /tmp/v
+
+These go BEYOND the in-repo crash sweeps (NonFiniteInputSuite,
+NullInputSuite, ScaleSuite): they assert the two engines agree on the
+degenerate values, not merely that the Spark side survives them.
+"""
+import os
+import shutil
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def copy_tables(con, src, dst, skip=()):
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        if t in skip:
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+
+
+def main():
+    src, base = sys.argv[1], sys.argv[2]
+    shutil.rmtree(base, ignore_errors=True)
+    con = duckdb.connect()
+
+    nf = f"{base}/nonfinite"
+    copy_tables(con, src, nf, skip=("events",))
+    con.execute(f"""
+      COPY (SELECT event_id, ts, user_id, event_type,
+              CASE WHEN event_id % 19 = 0 THEN CAST('NaN' AS DOUBLE)
+                   WHEN event_id % 23 = 0 THEN CAST('Infinity' AS DOUBLE)
+                   WHEN event_id % 29 = 0 THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE value END AS value, props
+            FROM read_parquet('{src}/events.parquet'))
+      TO '{nf}/events.parquet' (FORMAT PARQUET)""")
+
+    nu = f"{base}/nulls"
+    copy_tables(con, src, nu, skip=("events", "documents", "embeddings"))
+    con.execute(f"""
+      COPY (SELECT event_id, ts, user_id,
+              CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END
+                AS event_type,
+              CASE WHEN event_id % 11 = 0 THEN NULL ELSE value END AS value,
+              CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+            FROM read_parquet('{src}/events.parquet'))
+      TO '{nu}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS source,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+      TO '{nu}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT vec_id, embedding,
+              CASE WHEN vec_id % 11 = 0 THEN NULL ELSE label END AS label
+            FROM read_parquet('{src}/embeddings.parquet'))
+      TO '{nu}/embeddings.parquet' (FORMAT PARQUET)""")
+
+    hot = f"{base}/hotuser"
+    copy_tables(con, src, hot, skip=("events",))
+    t0 = 1767225600000000  # 2026-01-01T00:00Z in us
+    con.execute(f"""
+      COPY (
+        SELECT i AS event_id,
+               make_timestamp({t0} + i * 10000000) AS ts,
+               CAST(1 AS BIGINT) AS user_id,
+               ['view', 'click', 'purchase'][(i % 3) + 1] AS event_type,
+               CAST(i AS DOUBLE) AS value,
+               '{{"k": 1}}' AS props
+        FROM range(5000) t(i)
+        UNION ALL
+        SELECT 100000 + u * 10 + i,
+               make_timestamp({t0} + i * 3600000000),
+               u, 'view', 1.0, '{{"k": 2}}'
+        FROM range(100, 150) s(u), range(6) r(i))
+      TO '{hot}/events.parquet' (FORMAT PARQUET)""")
+    print(f"wrote {nf}, {nu}, {hot}")
+
+
+if __name__ == "__main__":
+    main()
