@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces three full 10-table vintages under <outBaseDir>/:
+Produces four full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -11,6 +11,10 @@ Produces three full 10-table vintages under <outBaseDir>/:
   hotuser/    events replaced by a power-law stream: user 1 holds 5,000
               events 10s apart (one session, completes the funnel); 50 cold
               users hold 6 hourly view-only events each
+  chaos/      nulls ∘ nonfinite composed: the NULL recipe applied on top of
+              non-finite events.value (a NULL and a NaN can land in the same
+              group/frame — the interaction surface none of the single
+              vintages exercises)
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -80,6 +84,25 @@ def main():
             FROM read_parquet('{src}/embeddings.parquet'))
       TO '{nu}/embeddings.parquet' (FORMAT PARQUET)""")
 
+    ch = f"{base}/chaos"
+    copy_tables(con, src, ch, skip=("events",))
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{nu}/{t}.parquet')) "
+            f"TO '{ch}/{t}.parquet' (FORMAT PARQUET)")
+    con.execute(f"""
+      COPY (SELECT event_id, ts, user_id,
+              CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END
+                AS event_type,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   WHEN event_id % 19 = 0 THEN CAST('NaN' AS DOUBLE)
+                   WHEN event_id % 23 = 0 THEN CAST('Infinity' AS DOUBLE)
+                   WHEN event_id % 29 = 0 THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE value END AS value,
+              CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+            FROM read_parquet('{src}/events.parquet'))
+      TO '{ch}/events.parquet' (FORMAT PARQUET)""")
+
     hot = f"{base}/hotuser"
     copy_tables(con, src, hot, skip=("events",))
     t0 = 1767225600000000  # 2026-01-01T00:00Z in us
@@ -98,7 +121,7 @@ def main():
                u, 'view', 1.0, '{{"k": 2}}'
         FROM range(100, 150) s(u), range(6) r(i))
       TO '{hot}/events.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {hot}")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}")
 
 
 if __name__ == "__main__":
