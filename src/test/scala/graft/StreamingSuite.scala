@@ -141,6 +141,42 @@ class StreamingSuite extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA propagates NaN/Inf bit-identically to batch") {
+    // The streaming state machine must agree with batch on non-finite
+    // metric values too: a NaN poisons the 10-event window until it
+    // falls out, an Inf dominates it — identically on both paths.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_nf").toString
+    Tables.t(spark, sf, "events")
+      .withColumn("value",
+        when(col("event_id") % 19 === 0, lit(Double.NaN))
+          .when(col("event_id") % 23 === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("value")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the spark write lands a directory (unlike the flat-file fixture
+    // copies above), so stream that directory directly
+    val events = Streams.fileSource(spark, s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    val q = Streams.ewmaPerUser(events)
+      .writeStream.format("memory").queryName("ewma_nf_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_nf_sink")
+        .select("event_id", "ewma10").collect()
+        .map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+      val batch = SparkEntry.queries("ts_ewma")(spark, dir)
+        .select("event_id", "ewma10").collect()
+        .map(r => r.getLong(0) ->
+          java.lang.Double.doubleToLongBits(r.getDouble(1))).toMap
+      assert(streamed == batch)
+      val nanBits = java.lang.Double.doubleToLongBits(Double.NaN)
+      assert(batch.values.exists(_ == nanBits), "fixture exercised no NaN")
+    } finally q.stop()
+  }
+
   test("ListState EWMA processor is bit-identical to the batch lag chain") {
     import spark.implicits._
     val dir = eventsDir
