@@ -30,7 +30,8 @@ case class CosineSim(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
-  // can return NULL even for non-null inputs (length mismatch/null element)
+  // can return NULL even for non-null inputs (length mismatch, null
+  // element, or a zero-norm side — cosine is undefined for the zero vector)
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
@@ -51,7 +52,13 @@ case class CosineSim(left: Expression, right: Expression)
         dot += xi * yi; na += xi * xi; nb += yi * yi
         i += 1
       }
-      dot / (math.sqrt(na) * math.sqrt(nb))
+      // zero-norm side → NULL, never NaN: a raw 0/0 here would emit NaN,
+      // which Spark ORDERS AS THE LARGEST DOUBLE and passes `cos >= t`
+      // filters — zero vectors (padding rows, failed normalizations) would
+      // surface as top-ranked "near-duplicates". NULL matches the Divide
+      // formulation in VectorOps.cosine and the DuckDB oracle (x/0 → NULL).
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
   }
 
@@ -77,8 +84,12 @@ case class CosineSim(left: Expression, right: Expression)
             $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
           }
           if (!${ev.isNull}) {
-            ${ev.value} = $dot /
-              (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+            if ($na == 0.0 || $nb == 0.0) {
+              ${ev.isNull} = true; // zero-norm → NULL, matching nullSafeEval
+            } else {
+              ${ev.value} = $dot /
+                (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+            }
           }
         }
       """

@@ -23,9 +23,23 @@ object VectorOps {
   /** Σ aᵢ² in double, left fold. */
   def norm2(a: Column): Column = dot(a, a)
 
-  /** Cosine similarity; callers guarantee non-zero vectors. */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  /** Cosine similarity; NULL when either side has zero norm (cosine is
+    * undefined for the zero vector), REGARDLESS of the other side. Two
+    * traps force the explicit norm guard, not just a denominator nullif:
+    * under Spark's ANSI default a raw Divide by a 0.0 denominator THROWS
+    * (DIVIDE_BY_ZERO) where DuckDB yields NULL, and when the other side
+    * carries an Inf element the denominator is 0·Inf = NaN — a nullif
+    * never sees the zero and the result silently becomes NaN, which Spark
+    * ORDERS AS THE LARGEST DOUBLE (a zero-vector pair would top neighbor
+    * rankings). Zero vectors are normal in production embedding feeds
+    * (padding rows, failed normalizations); this branch, CosineSim, and
+    * the [[oCosine]] oracle fragment all pin the same NULL contract —
+    * PropertySuite's cosine law drives all three over random vectors. */
+  def cosine(a: Column, b: Column): Column = {
+    val na2 = norm2(a); val nb2 = norm2(b)
+    when(na2 === 0.0 || nb2 === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / nullif(sqrt(na2) * sqrt(nb2), lit(0.0)))
+  }
 
   /** Squared L2 distance in double, left fold. */
   def dist2(a: Column, b: Column): Column =
@@ -42,6 +56,16 @@ object VectorOps {
     s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))),
         (s, p) -> s + p)"""
+
+  /** DuckDB oracle fragment matching [[cosine]]: NULL on a zero-norm side
+    * (checked BEFORE the division — see the cosine scaladoc for why a
+    * denominator nullif is not enough), else the same pinned-fold
+    * arithmetic. */
+  def oCosine(a: String, b: String): String =
+    s"""CASE WHEN ${oDot(a, a)} = 0.0 OR ${oDot(b, b)} = 0.0 THEN NULL
+             ELSE ${oDot(a, b)} /
+                  nullif(sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}), 0.0)
+        END"""
 
   /** DuckDB oracle fragment matching [[dist2]]. */
   def oDist2(a: String, b: String): String =

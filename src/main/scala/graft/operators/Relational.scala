@@ -709,9 +709,16 @@ object Relational {
         val sxy = sum(x * y).cast("double")
         val sxx = sum(x * x).cast("double")
         val syy = sum(y * y).cast("double")
+        // Zero-variance contract (both engines): a group where either
+        // column is constant (or n = 1) has corr undefined → NULL, the
+        // built-in corr()'s answer too. Under Spark's ANSI default a raw
+        // Divide by the 0.0 denominator THROWS (DuckDB yields NULL), and
+        // sqrt of a rounding-negative operand throws on DuckDB — hence
+        // nullif + the `< 0` clamps. Clean-data groups are bit-unchanged.
+        def sqc(v: Column) = sqrt(when(v < 0.0, lit(0.0)).otherwise(v))
+        val den = sqc(n * sxx - sx * sx) * sqc(n * syy - sy * sy)
         L(s, d).groupBy("l_returnflag")
-          .agg(((n * sxy - sx * sy) /
-            (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+          .agg(((n * sxy - sx * sy) / nullif(den, lit(0.0)))
             .as("corr_qty_price"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag")
@@ -723,10 +730,11 @@ object Relational {
         def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
         val (sx, sy) = (d0(qx), d0(qy))
         val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx"); val syy = d0(s"$qy*$qy")
+        def sqc(v: String) =
+          s"sqrt(CASE WHEN ($v) < 0.0 THEN 0.0 ELSE ($v) END)"
+        val den = s"(${sqc(s"$n*$sxx - $sx*$sx")} * ${sqc(s"$n*$syy - $sy*$sy")})"
         s"""SELECT l_returnflag,
-                   ($n*$sxy - $sx*$sy) /
-                     (sqrt($n*$sxx - $sx*$sx) * sqrt($n*$syy - $sy*$sy))
-                     AS corr_qty_price,
+                   ($n*$sxy - $sx*$sy) / nullif($den, 0.0) AS corr_qty_price,
                    count(*) AS cnt
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
@@ -743,7 +751,10 @@ object Relational {
         def d0(c: Column) = sum(c).cast("double")
         val sx = d0(x); val sy = d0(y)
         val sxy = sum(x * y).cast("double"); val sxx = sum(x * x).cast("double")
-        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        // constant-x group (or n = 1): slope undefined → NULL (regr_slope
+        // semantics); intercept propagates NULL. nullif vs ANSI Divide
+        // throw, same contract as agg_corr.
+        val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0))
         L(s, d).groupBy("l_returnflag")
           .agg((slope / 100.0).as("slope"),
             (((sy - slope * sx) / n) / 100.0).as("intercept"),
@@ -757,7 +768,7 @@ object Relational {
         def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
         val (sx, sy) = (d0(qx), d0(qy))
         val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx")
-        val slope = s"(($n*$sxy - $sx*$sy) / ($n*$sxx - $sx*$sx))"
+        val slope = s"(($n*$sxy - $sx*$sy) / nullif($n*$sxx - $sx*$sx, 0.0))"
         s"""SELECT l_returnflag,
                    $slope / 100.0 AS slope,
                    (($sy - $slope*$sx) / $n) / 100.0 AS intercept,
@@ -1022,9 +1033,14 @@ object Relational {
         val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
         val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
           lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+        // constant group (m2 = 0, incl. n = 1): skew/kurt undefined →
+        // NULL on both engines (nullif vs the ANSI Divide throw); the
+        // sqrt clamp keeps a rounding-negative m2 out of DuckDB's
+        // throwing sqrt. Non-degenerate groups are bit-unchanged.
+        val m2c = when(m2 < 0.0, lit(0.0)).otherwise(m2)
         L(s, d).groupBy("l_returnflag")
-          .agg((m3 / (m2 * sqrt(m2))).as("skew"),
-            (m4 / (m2 * m2) - lit(3.0)).as("kurt"),
+          .agg((m3 / nullif(m2 * sqrt(m2c), lit(0.0))).as("skew"),
+            (m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0)).as("kurt"),
             count(lit(1)).as("cnt"))
           .orderBy("l_returnflag")
       },
@@ -1039,9 +1055,10 @@ object Relational {
         val m3 = s"($s3 / $n - 3.0 * $mu * ($s2 / $n) + 2.0 * $mu * $mu * $mu)"
         val m4 = s"($s4 / $n - 4.0 * $mu * ($s3 / $n) + " +
           s"6.0 * $mu * $mu * ($s2 / $n) - 3.0 * $mu * $mu * $mu * $mu)"
+        val m2c = s"(CASE WHEN $m2 < 0.0 THEN 0.0 ELSE $m2 END)"
         s"""SELECT l_returnflag,
-                   $m3 / ($m2 * sqrt($m2)) AS skew,
-                   $m4 / ($m2 * $m2) - 3.0 AS kurt,
+                   $m3 / nullif($m2 * sqrt($m2c), 0.0) AS skew,
+                   $m4 / nullif($m2 * $m2, 0.0) - 3.0 AS kurt,
                    count(*) AS cnt
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
       }),
@@ -1221,14 +1238,18 @@ object Relational {
     // and one IEEE division — the aggregation shape quality-weighted
     // corpus sampling uses. Map-side combine on both sums, one shuffle.
     "agg_weighted" -> Q(
+      // all-zero weights in a group → weighted mean undefined → NULL on
+      // both engines (nullif vs the ANSI Divide throw). TPC-H prices are
+      // positive so clean data never hits it, but quality-weighted corpus
+      // sampling legitimately assigns weight 0 to filtered-out documents.
       (s, d) => L(s, d).groupBy("l_returnflag")
         .agg((dsum(col("l_discount") * col("l_extendedprice")) /
-            dsum(col("l_extendedprice"))).as("wavg_disc"),
+            nullif(dsum(col("l_extendedprice")), lit(0.0))).as("wavg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag"),
       Some(s"""SELECT l_returnflag,
                      ${oSum("l_discount*l_extendedprice")} /
-                       ${oSum("l_extendedprice")} AS wavg_disc,
+                       nullif(${oSum("l_extendedprice")}, 0.0) AS wavg_disc,
                      count(*) AS cnt
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 

@@ -41,7 +41,17 @@ object Similarity {
       .orderBy(col("cos").desc, col("vid").asc)
     broadcast(probes).join(corpus, col("pid") =!= col("vid"))
       .select(col("pid"), col("vid"), col("label"),
-        (dot(col("pemb"), col("vemb")) / (col("pn") * col("vn"))).as("cos"))
+        // zero-norm side → cos NULL (the VectorOps.cosine contract — see
+        // its scaladoc for why the norm guard must come BEFORE the
+        // division: ANSI Divide throws on 0.0, and 0·Inf = NaN slips past
+        // a nullif). NULL rows are dropped before ranking: zero vectors
+        // are never neighbors, and a zero-norm probe emits no rows,
+        // on BOTH engines.
+        when(col("pn") === 0.0 || col("vn") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(dot(col("pemb"), col("vemb")) /
+            nullif(col("pn") * col("vn"), lit(0.0))).as("cos"))
+      .where(col("cos").isNotNull)
       .withColumn("rn", row_number().over(w).cast("bigint"))
       .where(col("rn") <= K)
   }
@@ -52,15 +62,13 @@ object Similarity {
                   WHERE vec_id < $PROBES),
        scored AS (
          SELECT pid, c.vec_id AS vid, c.label,
-                ${oDot("pemb", "c.embedding")} /
-                  (sqrt(${oDot("pemb", "pemb")}) *
-                   sqrt(${oDot("c.embedding", "c.embedding")})) AS cos
+                ${oCosine("pemb", "c.embedding")} AS cos
          FROM probes, embeddings c WHERE pid <> c.vec_id),
        ranked AS (
          SELECT pid, vid, label, cos,
                 row_number() OVER (PARTITION BY pid
                                    ORDER BY cos DESC, vid ASC) AS rn
-         FROM scored)"""
+         FROM scored WHERE cos IS NOT NULL)"""
 
   val defs: Map[String, Q] = Map(
 
@@ -134,6 +142,9 @@ object Similarity {
             col("pcid") === col("cid") && col("pid") =!= col("vid"))
           .select(col("pid"), col("vid"),
             cosine(col("pemb"), col("vemb")).as("cos"))
+          // zero-norm vectors score NULL (VectorOps.cosine) — dropped
+          // before ranking on both engines, same contract as topk above
+          .where(col("cos").isNotNull)
           .withColumn("rn", row_number().over(wTop).cast("bigint"))
           .where(col("rn") <= K)
           .select("pid", "vid", "cos", "rn")
@@ -153,16 +164,14 @@ object Similarity {
                          FROM bucketed WHERE vec_id < $PROBES),
               scored AS (
                 SELECT pid, b.vec_id AS vid,
-                       ${oDot("pemb", "b.embedding")} /
-                         (sqrt(${oDot("pemb", "pemb")}) *
-                          sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
+                       ${oCosine("pemb", "b.embedding")} AS cos
                 FROM probes JOIN bucketed b
                   ON pcid = b.cid AND pid <> b.vec_id)
               SELECT pid, vid, cos, rn FROM (
                 SELECT pid, vid, cos,
                        row_number() OVER (PARTITION BY pid
                                           ORDER BY cos DESC, vid ASC) AS rn
-                FROM scored)
+                FROM scored WHERE cos IS NOT NULL)
               WHERE rn <= $K ORDER BY pid, rn""")),
 
     // Same top-K computed by the custom fused Catalyst expression
@@ -181,6 +190,9 @@ object Similarity {
         broadcast(probes).join(corpus, col("pid") =!= col("vid"))
           .select(col("pid"), col("vid"),
             expr("cosine_sim(pemb, vemb)").as("cos"))
+          // cosine_sim → NULL on a zero-norm side (CosineSim contract);
+          // dropped before ranking like the HOF path, same oracle filter
+          .where(col("cos").isNotNull)
           .withColumn("rn", row_number().over(w).cast("bigint"))
           .where(col("rn") <= K)
           .select("pid", "vid", "cos", "rn")
@@ -201,14 +213,16 @@ object Similarity {
         a.join(b, col("ia") < col("ib"))
           .select(col("ia"), col("ib"),
             expr("cosine_sim(ea, eb)").as("cos"))
+          // zero-norm pairs score NULL; `NULL >= 0.35` is NULL → dropped
+          // on both engines. (Before the CosineSim zero-norm fix they
+          // scored NaN, which Spark treats as the LARGEST double — every
+          // zero-vector pair passed this filter while DuckDB dropped it.)
           .where(col("cos") >= 0.35)
           .orderBy("ia", "ib")
       },
       Some(s"""SELECT ia, ib, cos FROM (
                 SELECT a.vec_id AS ia, b.vec_id AS ib,
-                       ${oDot("a.embedding", "b.embedding")} /
-                         (sqrt(${oDot("a.embedding", "a.embedding")}) *
-                          sqrt(${oDot("b.embedding", "b.embedding")})) AS cos
+                       ${oCosine("a.embedding", "b.embedding")} AS cos
                 FROM embeddings a, embeddings b
                 WHERE a.vec_id < 200 AND b.vec_id < 200 AND a.vec_id < b.vec_id)
               WHERE cos >= 0.35 ORDER BY ia, ib""")),

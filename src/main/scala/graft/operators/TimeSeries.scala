@@ -140,28 +140,39 @@ object TimeSeries {
         val n = count(lit(1)).cast("double")
         val sv = dsum(col("value"))
         val sv2 = dsum(col("value") * col("value"))
+        // Degenerate-group contract (both engines): a singleton type
+        // (n = 1 → sample variance undefined) or a constant-valued type
+        // (sd = 0) gets sd NULL, so every z is NULL → n_anom 0, max_absz
+        // NULL. The nullifs are load-bearing under Spark's ANSI default —
+        // a raw Divide by 0.0 THROWS where DuckDB yields NULL — and the
+        // `< 0` clamp keeps a rounding-negative variance out of sqrt,
+        // which throws on DuckDB (Out of Range) and is NaN on Spark.
+        val varOp = (sv2 - sv * sv / n) / nullif(n - lit(1.0), lit(0.0))
         val stats = E(s, d).groupBy("event_type").agg(
           (sv / n).as("mu"),
-          sqrt((sv2 - sv * sv / n) / (n - lit(1.0))).as("sd"))
-        val z = abs((col("value") - col("mu")) / col("sd"))
+          sqrt(when(varOp < 0.0, lit(0.0)).otherwise(varOp)).as("sd"))
+        val z = abs((col("value") - col("mu")) / nullif(col("sd"), lit(0.0)))
         E(s, d).join(broadcast(stats), "event_type")
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            expr("count_if(abs((value - mu) / sd) > 3.0)").as("n_anom"),
+            expr("count_if(abs((value - mu) / nullif(sd, 0.0d)) > 3.0)")
+              .as("n_anom"),
             max(z).as("max_absz"))
           .orderBy("event_type")
       },
       Some {
         val n = "CAST(count(*) AS DOUBLE)"
         val sv = oSum("value"); val sv2 = oSum("value*value")
+        val varOp = s"(($sv2 - $sv*$sv/$n) / nullif($n - 1.0, 0.0))"
         s"""WITH st AS (
               SELECT event_type, $sv / $n AS mu,
-                     sqrt(($sv2 - $sv*$sv/$n) / ($n - 1.0)) AS sd
+                     sqrt(CASE WHEN $varOp < 0.0 THEN 0.0 ELSE $varOp END)
+                       AS sd
               FROM events GROUP BY event_type)
             SELECT e.event_type AS event_type, count(*) AS n,
-                   CAST(count_if(abs((value - mu) / sd) > 3.0) AS BIGINT)
-                     AS n_anom,
-                   max(abs((value - mu) / sd)) AS max_absz
+                   CAST(count_if(abs((value - mu) / nullif(sd, 0.0)) > 3.0)
+                     AS BIGINT) AS n_anom,
+                   max(abs((value - mu) / nullif(sd, 0.0))) AS max_absz
             FROM events e JOIN st ON e.event_type = st.event_type
             GROUP BY e.event_type ORDER BY event_type"""
       }),
@@ -412,9 +423,19 @@ object TimeSeries {
           .orderBy("user_id", "g_ts")
       },
       Some("""WITH ev AS (
-                SELECT user_id, epoch_us(ts) AS t, value AS v, event_id AS eid,
-                       epoch_us(ts) AS tv, 0 AS is_grid
-                FROM events WHERE value IS NOT NULL),
+                -- same-(user, t) duplicates collapse to the max-event_id
+                -- row, EXPLICITLY mirroring the Spark-side dedup window:
+                -- the union formulation's forward anchor (first_value OVER
+                -- wd) would otherwise pick the LOWEST eid at a duplicated
+                -- timestamp and interpolate from the row Spark discarded
+                SELECT user_id, t, v, eid, t AS tv, 0 AS is_grid
+                FROM (SELECT user_id, epoch_us(ts) AS t, value AS v,
+                             event_id AS eid,
+                             row_number() OVER (
+                               PARTITION BY user_id, epoch_us(ts)
+                               ORDER BY event_id DESC) AS rd
+                      FROM events WHERE value IS NOT NULL)
+                WHERE rd = 1),
               span AS (
                 SELECT user_id, (min(t) + 3599999999) // 3600000000 AS gs,
                        max(t) // 3600000000 AS ge

@@ -219,4 +219,67 @@ class PropertySuite extends SparkSpec {
       assert(st.vsum == scaled.foldLeft(0.0)(_ + _)) // pinned left fold
     }
   }
+
+  test("cosine_sim ≡ the HOF fold for any vectors, incl. zero and non-finite") {
+    // the fused Catalyst expression (CosineSim), the FuseVectorFolds-
+    // rewritten HOF tree, and a driver-side reference must agree bit-for-
+    // bit on ANY float vectors: finite, zero-norm (→ NULL, the ANSI
+    // degenerate-denominator contract), and NaN/Inf elements (→ IEEE
+    // propagation). Randomized over lengths too (mismatched pairs → NULL).
+    import graft.functions.VectorOps
+    val vecGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n,
+      Gen.frequency(
+        6 -> Gen.chooseNum(-10.0f, 10.0f),
+        2 -> Gen.const(0.0f),
+        1 -> Gen.oneOf(Float.NaN, Float.PositiveInfinity))))
+    val pairGen = Gen.listOfN(30, Gen.zip(vecGen, Gen.oneOf(true, false))
+      .flatMap { case (a, sameLen) =>
+        val bGen =
+          if (sameLen) Gen.listOfN(a.length, Gen.chooseNum(-10.0f, 10.0f))
+          else Gen.listOfN(a.length + 1, Gen.chooseNum(-10.0f, 10.0f))
+        // all-zero b with probability ~1/4 to hit the zero-norm branch on
+        // the RIGHT side as well
+        Gen.zip(Gen.const(a), bGen, Gen.oneOf(0, 0, 0, 1)).map {
+          case (x, y, 1) => (x, y.map(_ => 0.0f))
+          case (x, y, _) => (x, y)
+        }
+      })
+    forSamples(pairGen, n = 4) { pairs =>
+      import spark.implicits._
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+        .toDF("id", "af", "bf")
+        .select(col("id"), col("af").cast("array<float>").as("a"),
+          col("bf").cast("array<float>").as("b"))
+      val out = df.select(col("id"),
+        expr("cosine_sim(a, b)").as("fused"),
+        VectorOps.cosine(col("a"), col("b")).as("hof")).collect()
+      def ref(a: List[Float], b: List[Float]): Option[Double] =
+        if (a.length != b.length) None
+        else {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          for ((x, y) <- a.zip(b)) {
+            dot += x.toDouble * y.toDouble
+            na += x.toDouble * x.toDouble; nb += y.toDouble * y.toDouble
+          }
+          if (na == 0.0 || nb == 0.0) None
+          else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+        }
+      for (r <- out) {
+        val (a, b) = pairs(r.getAs[Long]("id").toInt)
+        val expect = ref(a, b)
+        val fused = Option(r.getAs[java.lang.Double]("fused")).map(_.doubleValue)
+        val hof = Option(r.getAs[java.lang.Double]("hof")).map(_.doubleValue)
+        def same(x: Option[Double], y: Option[Double]) = (x, y) match {
+          case (Some(u), Some(v)) => // doubleToLongBits canonicalizes NaN
+            java.lang.Double.doubleToLongBits(u) ==
+              java.lang.Double.doubleToLongBits(v)
+          case (None, None) => true
+          case _ => false
+        }
+        assert(same(fused, expect), s"fused $fused != ref $expect for ($a, $b)")
+        assert(same(hof, expect), s"hof $hof != ref $expect for ($a, $b)")
+      }
+    }
+  }
 }

@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces four full 10-table vintages under <outBaseDir>/:
+Produces five full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -15,6 +15,12 @@ Produces four full 10-table vintages under <outBaseDir>/:
               non-finite events.value (a NULL and a NaN can land in the same
               group/frame — the interaction surface none of the single
               vintages exercises)
+  zerovar/    ANSI zero-denominator surface (ZeroVarianceSuite recipe):
+              events 'error' type constant-valued (sd = 0) plus one appended
+              'zzz_single' singleton type (n - 1 = 0); lineitem flag 'R'
+              with constant l_quantity AND zero l_extendedprice (zero
+              moment-variance, zero weight sum); every 17th embedding the
+              zero vector (cosine undefined)
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -121,7 +127,39 @@ def main():
                u, 'view', 1.0, '{{"k": 2}}'
         FROM range(100, 150) s(u), range(6) r(i))
       TO '{hot}/events.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {ch}, {hot}")
+
+    zv = f"{base}/zerovar"
+    copy_tables(con, src, zv, skip=("events", "lineitem", "embeddings"))
+    con.execute(f"""
+      COPY (
+        SELECT event_id, ts, user_id, event_type,
+               CASE WHEN event_type = 'error' THEN 7.5 ELSE value END AS value,
+               props
+        FROM read_parquet('{src}/events.parquet')
+        UNION ALL
+        SELECT event_id + 1000000, ts, user_id, 'zzz_single', 42.0, props
+        FROM (SELECT * FROM read_parquet('{src}/events.parquet')
+              ORDER BY event_id DESC LIMIT 1))
+      TO '{zv}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+              CASE WHEN l_returnflag = 'R' THEN 25.0 ELSE l_quantity END
+                AS l_quantity,
+              CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_extendedprice END
+                AS l_extendedprice,
+              l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM read_parquet('{src}/lineitem.parquet'))
+      TO '{zv}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+      COPY (SELECT vec_id,
+              CASE WHEN vec_id % 17 = 0
+                   THEN CAST(list_transform(embedding,
+                          x -> CAST(0.0 AS FLOAT)) AS FLOAT[])
+                   ELSE embedding END AS embedding,
+              label
+            FROM read_parquet('{src}/embeddings.parquet'))
+      TO '{zv}/embeddings.parquet' (FORMAT PARQUET)""")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}")
 
 
 if __name__ == "__main__":
