@@ -88,11 +88,19 @@ object Text {
           .select("doc_id", "h")
           .orderBy("doc_id")
       },
+      // Oracle lower() mirror: DuckDB uses SIMPLE Unicode case folding
+      // (lower('İ') = 'i') while Spark/the JVM use FULL mapping
+      // (lower('İ') = 'i' + combining U+0307) — the engine contract is
+      // the JVM's, so the oracle pre-expands the divergent codepoint
+      // (chr(304) = İ) before its own lower(). A no-op on ASCII text.
       Some("""SELECT doc_id, h FROM (
-                SELECT doc_id, sha256(lower(trim(text))) AS h,
-                       row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                SELECT doc_id, h,
+                       row_number() OVER (PARTITION BY h
                                           ORDER BY doc_id) AS rn
-                FROM documents)
+                FROM (SELECT doc_id,
+                        sha256(lower(trim(replace(text, chr(304),
+                          'i' || chr(775))))) AS h
+                      FROM documents))
               WHERE rn = 1 ORDER BY doc_id""")),
 
     // Near-dup pairs: token-set Jaccard >= 0.9, candidate pairs blocked by

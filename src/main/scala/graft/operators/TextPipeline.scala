@@ -228,16 +228,26 @@ object TextPipeline {
           (lower(trim(regexp_replace(col("messy"), "\\s+", " "))) ===
             concat(col("text"), lit(" end"))).as("roundtrip_ok"))
         .orderBy("doc_id"),
+      // Oracle case-mapping mirrors (no-ops on ASCII): the JVM's FULL
+      // Unicode mapping has upper('ß') = 'SS' (DuckDB: 'ẞ') and
+      // lower('İ') = 'i' + combining U+0307 (DuckDB: 'i') — the engine
+      // contract is the JVM's, so the oracle pre-expands chr(223) = ß
+      // before its upper() and chr(304) = İ before its lower().
       Some("""WITH t AS (
                 SELECT doc_id, text,
-                       '  ' || upper(text) || chr(9) || chr(9) || ' END  ' AS messy
-                FROM documents)
-              SELECT doc_id,
-                     lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))) AS norm,
+                       '  ' || upper(replace(text, chr(223), 'SS'))
+                         || chr(9) || chr(9) || ' END  ' AS messy
+                FROM documents),
+              n AS (
+                SELECT doc_id, text, messy,
+                       lower(trim(regexp_replace(
+                         replace(messy, chr(304), 'i' || chr(775)),
+                         '\s+', ' ', 'g'))) AS norm
+                FROM t)
+              SELECT doc_id, norm,
                      len(regexp_extract_all(messy, '\s+')) AS n_ws_runs,
-                     lower(trim(regexp_replace(messy, '\s+', ' ', 'g'))) = text || ' end'
-                       AS roundtrip_ok
-              FROM t ORDER BY doc_id""")),
+                     norm = text || ' end' AS roundtrip_ok
+              FROM n ORDER BY doc_id""")),
 
     // Suffix-strip stemmer (Porter step-1-ish): same alternation order =
     // same result on both regex engines. Narrow per-token map.

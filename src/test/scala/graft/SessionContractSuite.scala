@@ -26,4 +26,21 @@ class SessionContractSuite extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions")
       == spark.sparkContext.defaultParallelism.toString)
   }
+
+  test("case mapping is the JVM's FULL Unicode mapping — the oracle mirrors it") {
+    // DuckDB's lower/upper use SIMPLE folding; the dedup_exact and
+    // text_normalize oracles pre-expand exactly these divergent
+    // codepoints (ß→SS before upper, İ→i+U+0307 before lower). If a
+    // Spark upgrade ever switches to a collation-aware/simple mapping,
+    // those mirrors silently corrupt — this pin goes red first.
+    import org.apache.spark.sql.functions.{lower, upper, lit}
+    val r = spark.range(1).select(
+      lower(lit("\u0130")).as("li"), // dotted capital I
+      upper(lit("straße")).as("us"), // straße
+      lower(lit("STRAßE")).as("ls")).collect().head
+    assert(r.getString(0) == "i\u0307",
+      "lower(U+0130) must be i + combining dot")
+    assert(r.getString(1) == "STRASSE", "upper(ß) must be SS")
+    assert(r.getString(2) == "straße", "lower(ß) must stay ß")
+  }
 }

@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces five full 10-table vintages under <outBaseDir>/:
+Produces six full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -21,6 +21,15 @@ Produces five full 10-table vintages under <outBaseDir>/:
               with constant l_quantity AND zero l_extendedprice (zero
               moment-variance, zero weight sum); every 17th embedding the
               zero vector (cosine undefined)
+  spicy/      adversarial documents.text: full-Unicode case-mapping
+              divergents (ß upper-maps to SS on the JVM vs ẞ in DuckDB;
+              İ lower-maps to i+U+0307 vs plain i) on non-'en' docs, CJK +
+              mid-token emoji + combining accents, regex metacharacters,
+              quotes/markup, and embedded CR/LF runs. 'en' docs get only
+              the ASCII classes - dedup_edit's oracle is documented valid
+              on ASCII 'en' only (DuckDB levenshtein counts bytes), and
+              token-INITIAL non-BMP codepoints are out of contract (Spark
+              ascii() is UTF-16 charAt(0); mid-token emoji is fine)
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -159,7 +168,27 @@ def main():
               label
             FROM read_parquet('{src}/embeddings.parquet'))
       TO '{zv}/embeddings.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}")
+    sp = f"{base}/spicy"
+    copy_tables(con, src, sp, skip=("documents",))
+    con.execute(f"""
+      COPY (SELECT doc_id,
+              CASE
+                WHEN lang <> 'en' AND doc_id % 23 = 0
+                  THEN text || ' straße grüße İstanbul Iı'
+                WHEN lang <> 'en' AND doc_id % 37 = 0
+                  THEN text || ' 中文分词 test x👍🏽y café cafe' || chr(769)
+                WHEN doc_id % 29 = 0
+                  THEN text || ' a.b*c(d] e+f? ^start$ |pipe| back\\slash'
+                WHEN doc_id % 31 = 0
+                  THEN text || ' "quoted" ''apos'' `tick` <tag attr="1">'
+                WHEN doc_id % 41 = 0
+                  THEN text || chr(13) || chr(10) || 'line2' || chr(10)
+                         || 'line3'
+                ELSE text END AS text,
+              lang, source, n_chars
+            FROM read_parquet('{src}/documents.parquet'))
+      TO '{sp}/documents.parquet' (FORMAT PARQUET)""")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}")
 
 
 if __name__ == "__main__":
