@@ -111,20 +111,30 @@ def main():
                   f"contention burst, not a plan bug")
         return
 
-    regressions = sorted(((k, r) for k, r in ratios.items() if r > 2.0),
-                         key=lambda kv: -kv[1])
+    # A regression must exceed 2x BOTH raw and contention-normalized
+    # (ratio / median): on a partially loaded day (median 1.2-1.5x) every
+    # query drifts up together, and a raw-only threshold false-flags the
+    # ones that land just past 2x (observed: ts_rolling 2.1x on a
+    # 1.40x-median day — normalized 1.5x, i.e. environment, not a plan).
+    # A genuine plan bug still trips both gates: 3x-of-steady on a 1.4x
+    # day is 4.2x raw, 3.0x normalized.
+    regressions = sorted(
+        ((k, r) for k, r in ratios.items() if r > 2.0 and r / med > 2.0),
+        key=lambda kv: -kv[1])
     if regressions or failed:
-        print("verdict: ISOLATED_REGRESSION — quiet host "
-              f"(median {med:.2f}x) but specific queries moved:")
+        print("verdict: ISOLATED_REGRESSION — specific queries moved far "
+              f"beyond the day's median ({med:.2f}x):")
         for k, r in regressions:
             rec = base_q.get(k)
             rec_s = f"{rec} s" if rec is not None else f"<{elide_bound} s"
-            print(f"  {k}: {queries[k]} s vs recorded "
-                  f"{rec_s} ({r:.1f}x) — inspect the plan")
+            print(f"  {k}: {queries[k]} s vs recorded {rec_s} "
+                  f"({r:.1f}x raw, {r / med:.1f}x normalized) — "
+                  f"inspect the plan")
         sys.exit(1)
 
     print(f"verdict: OK — shape matches the recorded baseline "
-          f"(median {med:.2f}x, no query >2x).")
+          f"(median {med:.2f}x, no query >2x both raw and "
+          f"median-normalized).")
 
 
 if __name__ == "__main__":
