@@ -37,23 +37,28 @@ object Similarity {
     val corpus = v.select(col("vec_id").as("vid"),
       col("embedding").as("vemb"), col("label"),
       sqrt(norm2(col("embedding"))).as("vn"))
+    // NULL cos (zero-norm side) ranks LAST — explicitly pinned on both
+    // engines — and is filtered AFTER the rank: a pre-rank filter on cos
+    // gets pushed into the join condition by Catalyst, re-evaluating the
+    // dot fold per candidate pair (seen in EXPLAIN.md). Post-rank the
+    // filter cannot cross the Window, non-null rows keep ranks 1..m
+    // (row_number with nulls-last), so results are identical and the
+    // fold runs once per pair.
     val w = Window.partitionBy("pid")
-      .orderBy(col("cos").desc, col("vid").asc)
+      .orderBy(col("cos").desc_nulls_last, col("vid").asc)
     broadcast(probes).join(corpus, col("pid") =!= col("vid"))
       .select(col("pid"), col("vid"), col("label"),
         // zero-norm side → cos NULL (the VectorOps.cosine contract — see
         // its scaladoc for why the norm guard must come BEFORE the
         // division: ANSI Divide throws on 0.0, and 0·Inf = NaN slips past
-        // a nullif). NULL rows are dropped before ranking: zero vectors
-        // are never neighbors, and a zero-norm probe emits no rows,
-        // on BOTH engines.
+        // a nullif). Zero vectors are never neighbors, and a zero-norm
+        // probe emits no rows, on BOTH engines.
         when(col("pn") === 0.0 || col("vn") === 0.0,
           lit(null).cast("double"))
           .otherwise(dot(col("pemb"), col("vemb")) /
             nullif(col("pn") * col("vn"), lit(0.0))).as("cos"))
-      .where(col("cos").isNotNull)
       .withColumn("rn", row_number().over(w).cast("bigint"))
-      .where(col("rn") <= K)
+      .where(col("rn") <= K && col("cos").isNotNull)
   }
 
   /** Oracle CTE computing the same top-K with identical fold arithmetic. */
@@ -67,8 +72,9 @@ object Similarity {
        ranked AS (
          SELECT pid, vid, label, cos,
                 row_number() OVER (PARTITION BY pid
-                                   ORDER BY cos DESC, vid ASC) AS rn
-         FROM scored WHERE cos IS NOT NULL)"""
+                                   ORDER BY cos DESC NULLS LAST, vid ASC)
+                  AS rn
+         FROM scored)"""
 
   val defs: Map[String, Q] = Map(
 
@@ -79,7 +85,7 @@ object Similarity {
         .orderBy("pid", "rn"),
       Some(s"""WITH $oTopk
               SELECT pid, vid, cos, rn FROM ranked
-              WHERE rn <= $K ORDER BY pid, rn""")),
+              WHERE rn <= $K AND cos IS NOT NULL ORDER BY pid, rn""")),
 
     // kNN majority-vote label per probe (count desc, label asc tiebreak).
     // Unlabeled (NULL-label) neighbors do not vote — without the filter a
@@ -102,7 +108,8 @@ object Similarity {
       Some(s"""WITH $oTopk,
               votes AS (
                 SELECT pid, label, count(*) AS votes FROM ranked
-                WHERE rn <= $K AND label IS NOT NULL GROUP BY pid, label)
+                WHERE rn <= $K AND cos IS NOT NULL
+                  AND label IS NOT NULL GROUP BY pid, label)
               SELECT pid, label AS pred_label, votes FROM (
                 SELECT pid, label, votes,
                        row_number() OVER (PARTITION BY pid
@@ -139,7 +146,7 @@ object Similarity {
           .select(col("vec_id").as("pid"), col("embedding").as("pemb"),
             col("cid").as("pcid"), col("nrm").as("pn"))
         val wTop = Window.partitionBy("pid")
-          .orderBy(col("cos").desc, col("vid").asc)
+          .orderBy(col("cos").desc_nulls_last, col("vid").asc)
         broadcast(probes)
           .join(bucketed.select(col("vec_id").as("vid"),
               col("embedding").as("vemb"), col("cid"), col("nrm").as("vn")),
@@ -149,11 +156,11 @@ object Similarity {
               lit(null).cast("double"))
               .otherwise(dot(col("pemb"), col("vemb")) /
                 nullif(col("pn") * col("vn"), lit(0.0))).as("cos"))
-          // zero-norm vectors score NULL — dropped before ranking on both
-          // engines, same contract as topk above
-          .where(col("cos").isNotNull)
+          // zero-norm vectors score NULL → rank last, filtered AFTER the
+          // rank (pre-rank filters get pushed into the join condition and
+          // re-evaluate the fold per pair — the topk note)
           .withColumn("rn", row_number().over(wTop).cast("bigint"))
-          .where(col("rn") <= K)
+          .where(col("rn") <= K && col("cos").isNotNull)
           .select("pid", "vid", "cos", "rn")
           .orderBy("pid", "rn")
       },
@@ -177,9 +184,10 @@ object Similarity {
               SELECT pid, vid, cos, rn FROM (
                 SELECT pid, vid, cos,
                        row_number() OVER (PARTITION BY pid
-                                          ORDER BY cos DESC, vid ASC) AS rn
-                FROM scored WHERE cos IS NOT NULL)
-              WHERE rn <= $K ORDER BY pid, rn""")),
+                                          ORDER BY cos DESC NULLS LAST,
+                                                   vid ASC) AS rn
+                FROM scored)
+              WHERE rn <= $K AND cos IS NOT NULL ORDER BY pid, rn""")),
 
     // Same top-K computed by the custom fused Catalyst expression
     // (graft.functions.CosineSim, registered as cosine_sim via
@@ -193,21 +201,22 @@ object Similarity {
         val corpus = v.select(col("vec_id").as("vid"),
           col("embedding").as("vemb"))
         val w = Window.partitionBy("pid")
-          .orderBy(col("cos").desc, col("vid").asc)
+          .orderBy(col("cos").desc_nulls_last, col("vid").asc)
         broadcast(probes).join(corpus, col("pid") =!= col("vid"))
           .select(col("pid"), col("vid"),
             expr("cosine_sim(pemb, vemb)").as("cos"))
           // cosine_sim → NULL on a zero-norm side (CosineSim contract);
-          // dropped before ranking like the HOF path, same oracle filter
-          .where(col("cos").isNotNull)
+          // NULLs rank last and are filtered AFTER the rank (the topk
+          // note: pre-rank filters push into the join and re-evaluate
+          // cosine_sim per candidate pair), same oracle filter
           .withColumn("rn", row_number().over(w).cast("bigint"))
-          .where(col("rn") <= K)
+          .where(col("rn") <= K && col("cos").isNotNull)
           .select("pid", "vid", "cos", "rn")
           .orderBy("pid", "rn")
       },
       Some(s"""WITH $oTopk
               SELECT pid, vid, cos, rn FROM ranked
-              WHERE rn <= $K ORDER BY pid, rn""")),
+              WHERE rn <= $K AND cos IS NOT NULL ORDER BY pid, rn""")),
 
     // Embedding-cosine near-duplicate pairs over a bounded corpus slice
     // (vec_id < 200 — at 100 TB this becomes bucket-local pairs via the
