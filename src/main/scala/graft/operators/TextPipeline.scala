@@ -43,7 +43,16 @@ object TextPipeline {
         expr(s"CAST(size(slice(tk, st + 1, $ChunkSize)) AS BIGINT)").as("chunk_tokens"))
 
   /** The PII-redaction transform, sans presentation sort — stateless and
-    * streaming-safe; shared with Streams.piiStream. */
+    * streaming-safe; shared with Streams.piiStream.
+    *
+    * The quantifiers are BOUNDED ({1,64} local part / {1,63} labels — the
+    * RFC 5321 limits) and must stay that way: with unbounded `+`, Java's
+    * backtracking engine is O(len²) across match-start positions on a
+    * long delimiter-free run (a 100k-char junk token costs ~30 s per
+    * regexp_replace, measured), while DuckDB's RE2 is linear — a giant
+    * minified/binary-ish document becomes a straggler task at scale.
+    * Bounds make each start O(64), matches on real emails are identical,
+    * and both engines agree on leftmost-greedy semantics either way. */
   def piiRedact(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
       .select(col("doc_id"),
@@ -53,9 +62,10 @@ object TextPipeline {
           .as("line"))
       .select(col("doc_id"),
         regexp_replace(
-          regexp_replace(col("line"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "[EMAIL]"),
+          regexp_replace(col("line"), "[a-z0-9]{1,64}@[a-z]{1,63}\\.[a-z]{1,63}", "[EMAIL]"),
           "555-[0-9]{4}", "[PHONE]").as("redacted"),
-        size(expr("regexp_extract_all(line, '[a-z0-9]+@[a-z]+\\\\.[a-z]+', 0)"))
+        size(expr(
+          "regexp_extract_all(line, '[a-z0-9]{1,64}@[a-z]{1,63}\\\\.[a-z]{1,63}', 0)"))
           .cast("bigint").as("n_emails"),
         size(expr("regexp_extract_all(line, '555-[0-9]{4}', 0)"))
           .cast("bigint").as("n_phones"))
@@ -178,14 +188,17 @@ object TextPipeline {
                 FROM documents)
               SELECT doc_id,
                      regexp_replace(regexp_replace(line,
-                       '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+                       '[a-z0-9]{1,64}@[a-z]{1,63}\.[a-z]{1,63}', '[EMAIL]', 'g'),
                        '555-[0-9]{4}', '[PHONE]', 'g') AS redacted,
-                     len(regexp_extract_all(line, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_emails,
+                     len(regexp_extract_all(line, '[a-z0-9]{1,64}@[a-z]{1,63}\.[a-z]{1,63}')) AS n_emails,
                      len(regexp_extract_all(line, '555-[0-9]{4}')) AS n_phones
               FROM t ORDER BY doc_id""")),
 
     // HTML strip: wrap deterministically (no markup in the corpus), then
     // strip tags — the web-crawl → plain-text step of a training pipeline.
+    // `[^>]{1,256}` (not `+`): an unclosed '<' followed by a long run of
+    // non-'>' text sends Java's backtracker O(len²) — same straggler
+    // class as the piiRedact note; 256 covers any sane tag + attributes.
     "text_html" -> Q(
       (s, d) => D(s, d)
         .select(col("doc_id"),
@@ -193,11 +206,11 @@ object TextPipeline {
             regexp_replace(col("text"), " data ", " <b>data</b> "),
             lit("</p></html>")).as("page"))
         .select(col("doc_id"),
-          regexp_replace(col("page"), "<[^>]+>", "").as("stripped"),
-          size(expr("regexp_extract_all(page, '<[^>]+>', 0)"))
+          regexp_replace(col("page"), "<[^>]{1,256}>", "").as("stripped"),
+          size(expr("regexp_extract_all(page, '<[^>]{1,256}>', 0)"))
             .cast("bigint").as("n_tags"),
           (length(col("page")) -
-            length(regexp_replace(col("page"), "<[^>]+>", "")))
+            length(regexp_replace(col("page"), "<[^>]{1,256}>", "")))
             .cast("bigint").as("markup_chars"))
         .orderBy("doc_id"),
       Some("""WITH t AS (
@@ -206,10 +219,10 @@ object TextPipeline {
                          || '</p></html>' AS page
                 FROM documents)
               SELECT doc_id,
-                     regexp_replace(page, '<[^>]+>', '', 'g') AS stripped,
-                     len(regexp_extract_all(page, '<[^>]+>')) AS n_tags,
+                     regexp_replace(page, '<[^>]{1,256}>', '', 'g') AS stripped,
+                     len(regexp_extract_all(page, '<[^>]{1,256}>')) AS n_tags,
                      CAST(length(page) -
-                          length(regexp_replace(page, '<[^>]+>', '', 'g')) AS BIGINT)
+                          length(regexp_replace(page, '<[^>]{1,256}>', '', 'g')) AS BIGINT)
                        AS markup_chars
               FROM t ORDER BY doc_id""")),
 

@@ -169,4 +169,70 @@ class ScaleSuite extends SparkSpec {
       }
     } finally v.unpersist()
   }
+
+  test("giant documents: a 100k-token doc and a 300k-char single token") {
+    // The long tail of a scraped corpus: one document orders of magnitude
+    // longer than the median (concatenated boilerplate, minified JS, a
+    // whole book). Every driver fixture doc is a few dozen tokens, so
+    // nothing exercises per-doc arrays of 10^5 elements (token lists,
+    // shingle explodes, span inventories) or a single token of 3*10^5
+    // chars (no delimiter at all - binary-ish junk). The contract:
+    // closed-form answers stay exact, and no text/dedup key crashes or
+    // degenerates quadratically in DOC LENGTH (pair ops stay blocked).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_giant").toString
+    val nTok = 100000
+    val vocab = 50
+    val giant = (0 until nTok).map(i => s"t${i % vocab}").mkString(" ")
+    val oneTok = "x" * 300000
+    val docs = Seq(
+      (1L, giant, "en", "web"),
+      (2L, oneTok, "en", "web")) ++
+      (100L until 106L).map(i =>
+        (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en", "web"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val toks = SparkEntry.queries("text_quality")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    assert(toks(1L) == nTok.toLong && toks(2L) == 1L)
+
+    // cycled vocab => beyond the first cycle every bigram repeats
+    val rep = SparkEntry.queries("text_repetition")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rep(1L).getAs[Long]("n_bigrams") == (nTok - 1).toLong)
+    assert(rep(1L).getAs[Double]("dup2_frac") > 0.99)
+
+    // chunking (size 40, stride 30) tiles the giant doc: one chunk per
+    // stride start, and the stride-sized prefixes of consecutive chunks
+    // reconstruct the doc (PropertySuite's law) — here pin the count and
+    // the exact token total with the 10-token overlap per interior chunk
+    val chunks = SparkEntry.queries("text_chunk")(spark, dir)
+      .where(col("doc_id") === 1L).collect()
+    val nChunks = (nTok + 29) / 30
+    assert(chunks.length == nChunks)
+    val totalTokens = chunks.map(_.getAs[Long]("chunk_tokens")).sum
+    // every chunk is 40 tokens except the tail ones clipped at nt
+    val expected = (0 until nTok by 30).map(st => math.min(40, nTok - st)).sum
+    assert(totalTokens == expected.toLong)
+
+    // giant docs sit alone in their length bands - pair ops emit nothing
+    // for them (blocking, not all-pairs, is what makes this linear)
+    for (k <- Seq("dedup_near", "dedup_edit")) {
+      val pairs = SparkEntry.queries(k)(spark, dir).collect()
+      assert(pairs.forall(r =>
+        r.getAs[Long]("ia") > 2L && r.getAs[Long]("ib") > 2L), k)
+    }
+
+    for (k <- Seq("text_ngrams", "text_quality", "text_fingerprint",
+                  "text_langid", "text_entropy", "text_lang_stats",
+                  "text_minhash", "text_normalize", "text_stem", "text_url",
+                  "text_html", "text_pii", "dedup_exact", "dedup_simhash",
+                  "dedup_lsh", "dedup_ngram", "dedup_span",
+                  "text_collocation", "text_tfidf", "text_decontaminate",
+                  "filter_c4"))
+      withClue(s"$k on giant-doc corpus: ")(
+        SparkEntry.queries(k)(spark, dir).collect())
+  }
 }
