@@ -229,9 +229,9 @@ class ScaleSuite extends SparkSpec {
                   "text_langid", "text_entropy", "text_lang_stats",
                   "text_minhash", "text_normalize", "text_stem", "text_url",
                   "text_html", "text_pii", "dedup_exact", "dedup_simhash",
-                  "dedup_lsh", "dedup_ngram", "dedup_span",
+                  "dedup_lsh", "dedup_ngram", "dedup_span", "dedup_mllsh",
                   "text_collocation", "text_tfidf", "text_decontaminate",
-                  "filter_c4"))
+                  "filter_c4", "scan_text_rt"))
       withClue(s"$k on giant-doc corpus: ")(
         SparkEntry.queries(k)(spark, dir).collect())
   }
