@@ -295,7 +295,11 @@ object Scalar {
           col("doc_id"),
           aggregate(
             zip_with(col("t"), reverse(col("t")),
-              (x, y) => length(x) * length(y)),
+              // bigint BEFORE the multiply: int x int overflows (ANSI
+              // throw) at |token| >= ~46341 chars squared — a single
+              // 150k-char junk token crashed the whole query; DuckDB's
+              // length() is already BIGINT so the oracle never overflowed
+              (x, y) => length(x).cast("bigint") * length(y)),
             lit(0L), (a, x) => a + x).as("zip_dot"),
           size(array_intersect(array_distinct(col("t")),
             array(lit("the"), lit("a"), lit("data"), lit("model"))))

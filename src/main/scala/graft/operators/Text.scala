@@ -523,16 +523,23 @@ object Text {
           .where(col("jac") >= 0.4)
           .orderBy("ia", "ib")
       },
-      Some("""WITH sh AS (
+      Some("""WITH tk AS (
+                -- tokens split ONCE per doc (the Spark side's
+                -- "text_ngrams lesson" applies to the oracle too: the
+                -- in-lambda string_split re-tokenized per ELEMENT, which
+                -- is O(n_tokens x doc_len) — minutes on one giant doc)
+                SELECT doc_id, lang, string_split(text, ' ') AS t,
+                       len(string_split(text, ' ')) AS nt
+                FROM documents),
+              sh AS (
                 SELECT doc_id, lang,
                        unnest(list_distinct(list_filter(
-                         list_transform(string_split(text, ' '), (x, i) ->
-                           CASE WHEN i < len(string_split(text, ' ')) - 1
-                                THEN x || ' ' || string_split(text, ' ')[i+1]
-                                       || ' ' || string_split(text, ' ')[i+2]
+                         list_transform(t, (x, i) ->
+                           CASE WHEN i < nt - 1
+                                THEN x || ' ' || t[i+1] || ' ' || t[i+2]
                            END),
                          y -> y IS NOT NULL))) AS sh
-                FROM documents),
+                FROM tk),
               kept AS (
                 SELECT sh.* FROM sh
                 JOIN (SELECT sh AS shk, count(DISTINCT doc_id) AS df

@@ -231,7 +231,7 @@ class ScaleSuite extends SparkSpec {
                   "text_html", "text_pii", "dedup_exact", "dedup_simhash",
                   "dedup_lsh", "dedup_ngram", "dedup_span", "dedup_mllsh",
                   "text_collocation", "text_tfidf", "text_decontaminate",
-                  "filter_c4", "scan_text_rt"))
+                  "filter_c4", "scan_text_rt", "fn_array2"))
       withClue(s"$k on giant-doc corpus: ")(
         SparkEntry.queries(k)(spark, dir).collect())
   }

@@ -29,7 +29,11 @@ Produces six full 10-table vintages under <outBaseDir>/:
               the ASCII classes - dedup_edit's oracle is documented valid
               on ASCII 'en' only (DuckDB levenshtein counts bytes), and
               token-INITIAL non-BMP codepoints are out of contract (Spark
-              ascii() is UTF-16 charAt(0); mid-token emoji is fine)
+              ascii() is UTF-16 charAt(0); mid-token emoji is fine).
+              Also appends two GIANT documents (a 50k-token cycled-vocab
+              doc and a 150k-char single token) so the long-array fold
+              arithmetic (minhash/simhash/fingerprint/chunk) is parity-
+              proven, not just crash-swept (ScaleSuite)
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -186,7 +190,14 @@ def main():
                          || 'line3'
                 ELSE text END AS text,
               lang, source, n_chars
-            FROM read_parquet('{src}/documents.parquet'))
+            FROM read_parquet('{src}/documents.parquet')
+            UNION ALL
+            SELECT 900001, array_to_string(
+                     list_transform(range(50000), i -> 't' || (i % 50)),
+                     ' '),
+                   'en', 'web', 50000 * 4 - 1
+            UNION ALL
+            SELECT 900002, repeat('x', 150000), 'en', 'web', 150000)
       TO '{sp}/documents.parquet' (FORMAT PARQUET)""")
     print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}")
 
