@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces six full 10-table vintages under <outBaseDir>/:
+Produces seven full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -34,6 +34,13 @@ Produces six full 10-table vintages under <outBaseDir>/:
               doc and a 150k-char single token) so the long-array fold
               arithmetic (minhash/simhash/fingerprint/chunk) is parity-
               proven, not just crash-swept (ScaleSuite)
+  epoch0/     clock-reset outlier: ONE event's ts rewritten to the epoch
+              (1970-01-01T00:00Z) - the classic zeroed-RTC telemetry bug.
+              Every span-derived structure (gap-fill spine, resample and
+              backfill grids, session gaps, cohort weeks) suddenly covers
+              ~54 years; the time-grid family must stay correct and
+              near-linear (grids explode to ~470k hourly rows), and both
+              engines must agree on the widened interpolations
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -199,7 +206,21 @@ def main():
             UNION ALL
             SELECT 900002, repeat('x', 150000), 'en', 'web', 150000)
       TO '{sp}/documents.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}")
+    ep = f"{base}/epoch0"
+    copy_tables(con, src, ep, skip=("events",))
+    con.execute(f"""
+      COPY (SELECT event_id, ts, user_id, event_type, value, props
+            FROM read_parquet('{src}/events.parquet')
+            WHERE event_id <> (SELECT min(event_id)
+                               FROM read_parquet('{src}/events.parquet'))
+            UNION ALL
+            SELECT event_id, make_timestamp(0), user_id, event_type, value,
+                   props
+            FROM read_parquet('{src}/events.parquet')
+            WHERE event_id = (SELECT min(event_id)
+                              FROM read_parquet('{src}/events.parquet')))
+      TO '{ep}/events.parquet' (FORMAT PARQUET)""")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}, {ep}")
 
 
 if __name__ == "__main__":
