@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces seven full 10-table vintages under <outBaseDir>/:
+Produces eight full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -41,6 +41,14 @@ Produces seven full 10-table vintages under <outBaseDir>/:
               ~54 years; the time-grid family must stay correct and
               near-linear (grids explode to ~470k hourly rows), and both
               engines must agree on the widened interpolations
+  maxchaos/   the composition of everything: events = zerovar (constant
+              'error', appended singleton) then nonfinite then NULLs;
+              documents = the spicy recipe (incl. giants) then NULLs;
+              lineitem = the zerovar R-flag; embeddings = zero vectors +
+              NULL labels. Exercises the interaction surface no single
+              vintage covers (a constant group that ALSO holds NULLs and
+              NaNs; a NULLed-out giant doc; a zero vector with a NULL
+              label)
 
 Then the standard loop proves bit-exact Spark/DuckDB agreement on each:
   sbt -batch "runMain graft.Verify <outBaseDir>/<vintage> /tmp/v"
@@ -220,7 +228,42 @@ def main():
             WHERE event_id = (SELECT min(event_id)
                               FROM read_parquet('{src}/events.parquet')))
       TO '{ep}/events.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}, {ep}")
+    mc = f"{base}/maxchaos"
+    copy_tables(con, src, mc, skip=("events", "lineitem", "documents",
+                                    "embeddings"))
+    # events: zerovar ∘ nonfinite ∘ nulls (composed from the zerovar
+    # OUTPUT so the appended singleton is subject to the later recipes too)
+    con.execute(f"""
+      COPY (SELECT event_id, ts, user_id,
+              CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END
+                AS event_type,
+              CASE WHEN event_id % 11 = 0 THEN NULL
+                   WHEN event_id % 19 = 0 THEN CAST('NaN' AS DOUBLE)
+                   WHEN event_id % 23 = 0 THEN CAST('Infinity' AS DOUBLE)
+                   WHEN event_id % 29 = 0 THEN CAST('-Infinity' AS DOUBLE)
+                   ELSE value END AS value,
+              CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+            FROM read_parquet('{zv}/events.parquet'))
+      TO '{mc}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{zv}/lineitem.parquet')) "
+        f"TO '{mc}/lineitem.parquet' (FORMAT PARQUET)")
+    # documents: spicy output (incl. giants) ∘ the NULL recipe
+    con.execute(f"""
+      COPY (SELECT doc_id,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+              CASE WHEN doc_id % 11 = 0 THEN NULL ELSE lang END AS lang,
+              CASE WHEN doc_id % 13 = 0 THEN NULL ELSE source END AS source,
+              CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars
+            FROM read_parquet('{sp}/documents.parquet'))
+      TO '{mc}/documents.parquet' (FORMAT PARQUET)""")
+    # embeddings: zerovar zero vectors ∘ NULL labels
+    con.execute(f"""
+      COPY (SELECT vec_id, embedding,
+              CASE WHEN vec_id % 11 = 0 THEN NULL ELSE label END AS label
+            FROM read_parquet('{zv}/embeddings.parquet'))
+      TO '{mc}/embeddings.parquet' (FORMAT PARQUET)""")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}, {ep}, {mc}")
 
 
 if __name__ == "__main__":
