@@ -185,18 +185,28 @@ object Scalar {
     // call on a 2%-sampled slice; at 100 TB you would never put xpath_* in
     // a hot path at all.
     "fn_xml" -> Q(
-      (s, d) => E(s, d)
+      (s, d) => {
+        // XML-escape the interpolated string field (& first, then <, >):
+        // xpath_string/from_xml THROW on malformed XML, so a raw
+        // event_type like "click&track" would crash the whole query
+        // (empirically confirmed — even a bare '&' in element content is
+        // fatal). The parsers decode the entities back, so the extracted
+        // values — and the oracle — are the raw strings either way.
+        val esc = regexp_replace(regexp_replace(regexp_replace(
+          col("event_type"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+        E(s, d)
         .where(pmod(col("event_id"), lit(50)) === 0)
         .select(col("event_id"),
           concat(lit("<e><id>"), col("event_id"), lit("</id><t>"),
-            col("event_type"), lit("</t><v>"), col("value"),
+            esc, lit("</t><v>"), col("value"),
             lit("</v></e>")).as("x"))
         .select(col("event_id"),
           expr("from_xml(x, 'id BIGINT, t STRING, v DOUBLE')").as("st"),
           expr("xpath_string(x, '/e/t/text()')").as("xtype"))
         .select(col("event_id"), col("st.id").as("xid"), col("xtype"),
           col("st.v").as("xval"))
-        .orderBy("event_id"),
+        .orderBy("event_id")
+      },
       Some("""SELECT event_id,
                      CASE WHEN event_type IS NULL OR value IS NULL THEN NULL
                           ELSE event_id END AS xid,

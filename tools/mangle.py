@@ -235,8 +235,9 @@ def main():
     # OUTPUT so the appended singleton is subject to the later recipes too)
     con.execute(f"""
       COPY (SELECT event_id, ts, user_id,
-              CASE WHEN event_id % 17 = 0 THEN NULL ELSE event_type END
-                AS event_type,
+              CASE WHEN event_id % 17 = 0 THEN NULL
+                   WHEN event_id % 15 = 0 THEN event_type || '&<track>'
+                   ELSE event_type END AS event_type,
               CASE WHEN event_id % 11 = 0 THEN NULL
                    WHEN event_id % 19 = 0 THEN CAST('NaN' AS DOUBLE)
                    WHEN event_id % 23 = 0 THEN CAST('Infinity' AS DOUBLE)
