@@ -158,6 +158,15 @@ object Scalar {
                      CAST(bit_count(p_partkey) AS BIGINT) AS pop
               FROM part ORDER BY p_partkey""")),
 
+    // Malformed-props contract: a truncated/non-JSON props string (clipped
+    // log lines) extracts NULL on both engines — Spark's get_json_object
+    // returns NULL natively; the oracle needs TRY_CAST(props AS JSON)
+    // because DuckDB's json_extract_string THROWS on malformed input
+    // (empirically confirmed). Oracle-validity boundary (documented, like
+    // dedup_edit's ASCII note): Spark's Jackson is LENIENT — single-quoted
+    // JSON and trailing garbage still extract, and big numbers keep their
+    // raw digits — while DuckDB is strict; props must be strict JSON or
+    // unparseable-as-a-whole for the oracle to replay the result.
     "fn_json" -> Q(
       (s, d) => E(s, d).select(
         col("event_id"),
@@ -166,9 +175,10 @@ object Scalar {
           .as("k_weighted"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
-                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-                     CAST(json_extract_string(props, '$.k') AS DOUBLE) * value
-                       AS k_weighted
+                     CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                          AS INTEGER) AS k_val,
+                     CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
+                          AS DOUBLE) * value AS k_weighted
               FROM events ORDER BY event_id""")),
 
     // XML extraction family — the from-string twin of the scan_xml_rt
@@ -177,8 +187,9 @@ object Scalar {
     // row's XML is built from its own columns, so extraction inverts
     // construction and the oracle replays the expected values straight off
     // the source table (DuckDB has no xpath). Lossless because Spark's
-    // double→string is shortest-repr and the parse inverts it exactly;
-    // event_type values are plain identifiers (no XML-escaping cases).
+    // double→string is shortest-repr and the parse inverts it exactly,
+    // and the string field is XML-escaped on the way in (see below) so
+    // arbitrary event_type values survive the round-trip.
     // SCALE note: the xpath_* UDFs re-parse the document per CALL (measured
     // 30.6 s for 3 calls × 100k rows at sf0.1) — the declared shape is
     // therefore parse-once from_xml for all fields, with the lone xpath

@@ -243,7 +243,10 @@ def main():
                    WHEN event_id % 23 = 0 THEN CAST('Infinity' AS DOUBLE)
                    WHEN event_id % 29 = 0 THEN CAST('-Infinity' AS DOUBLE)
                    ELSE value END AS value,
-              CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props
+              CASE WHEN event_id % 13 = 0 THEN NULL
+                   WHEN event_id % 21 = 0 THEN '{{"k": 1'
+                   WHEN event_id % 25 = 0 THEN 'not json at all'
+                   ELSE props END AS props
             FROM read_parquet('{zv}/events.parquet'))
       TO '{mc}/events.parquet' (FORMAT PARQUET)""")
     con.execute(
