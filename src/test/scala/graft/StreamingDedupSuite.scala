@@ -86,7 +86,14 @@ class StreamingDedupSuite extends SparkSpec {
       (3L, "", "en", "web"),
       (4L, "hello", "en", "web"),
       (5L, "漢字 テキスト 🙂", "ja", "web"),
-      (6L, (1 to 60).map("w" + _).mkString(" "), "en", "web"))
+      (6L, (1 to 60).map("w" + _).mkString(" "), "en", "web"),
+      // full-Unicode case-mapping divergents (normalizeDedup lowercases —
+      // the JVM mapping the batch oracles mirror must hold incrementally)
+      (7L, "straße İstanbul grüße", "de", "web"),
+      // the giant-document tail (ScaleSuite class): a 20k-token doc and a
+      // 60k-char single token through the stateful incremental path
+      (8L, (0 until 20000).map(i => s"t${i % 50}").mkString(" "), "en", "web"),
+      (9L, "x" * 60000, "en", "web"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("bigint"))
       .coalesce(1).write.mode("overwrite").parquet(dir)
