@@ -212,7 +212,11 @@ def main():
                      ' '),
                    'en', 'web', 50000 * 4 - 1
             UNION ALL
-            SELECT 900002, repeat('x', 150000), 'en', 'web', 150000)
+            SELECT 900002, repeat('x', 150000), 'en', 'web', 150000
+            UNION ALL
+            SELECT 900003, '', 'en', 'web', 0
+            UNION ALL
+            SELECT 900004, '   ', 'en', 'web', 3)
       TO '{sp}/documents.parquet' (FORMAT PARQUET)""")
     ep = f"{base}/epoch0"
     copy_tables(con, src, ep, skip=("events",))
