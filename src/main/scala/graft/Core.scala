@@ -182,6 +182,23 @@ object Par {
   def dsum(c: Column): Column =
     when(anyNonFinite(c), sum(c)).otherwise(finiteDecSum(c))
 
+  /** First/second-moment sums (Σc, Σc²) sharing ONE non-finite flag over
+    * `c` — variance-style aggregates (ts_anomaly) otherwise pay dsum's
+    * flag machinery twice (six aggregate buffers instead of five, plus a
+    * second per-row isnan/isinf pair over c·c). Semantics-preserving:
+    * c·c is non-finite exactly when c is — a finite c whose square
+    * overflows to +Inf needs |c| ≥ ~1.3e154, far past the DECIMAL(38,6)
+    * contract boundary (|c²| < 1e32, i.e. |c| < 1e16) where the decimal
+    * sum already throws an attributable ANSI overflow — so the shared
+    * flag selects the same branch as dsum's per-argument flags and the
+    * [[oSum]] oracle fragments stay valid unchanged. */
+  def dsumMoments(c: Column): (Column, Column) = {
+    val f = anyNonFinite(c)
+    (when(f, sum(c)).otherwise(finiteDecSum(c)),
+      when(f, sum(c * c)).otherwise(
+        sum(when(!nonFinite(c), c * c).cast(D)).cast("double")))
+  }
+
   /** Per-frame flag: any non-finite value inside the window frame. */
   def anyNfOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     max(when(nonFinite(c), 1).otherwise(0)).over(w) === 1

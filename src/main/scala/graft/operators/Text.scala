@@ -93,6 +93,11 @@ object Text {
       // (lower('İ') = 'i' + combining U+0307) — the engine contract is
       // the JVM's, so the oracle pre-expands the divergent codepoint
       // (chr(304) = İ) before its own lower(). A no-op on ASCII text.
+      // NOT mirrored: the JVM's CONDITIONAL final-sigma rule (word-final
+      // Σ → ς where DuckDB always yields σ) — positionless replace()
+      // can't express it, so uppercase Greek is out of this oracle's
+      // validity domain, like dedup_edit's ASCII-'en' bound. The
+      // SessionContractSuite case-mapping pin asserts the boundary.
       Some("""SELECT doc_id, h FROM (
                 SELECT doc_id, h,
                        row_number() OVER (PARTITION BY h

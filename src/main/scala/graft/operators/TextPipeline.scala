@@ -369,8 +369,12 @@ object TextPipeline {
           .distinct()
         val probe = sh.where(col("doc_id") % 97 === 0)
           .select(col("h"), col("doc_id").as("probe_id"))
+        // the probe side (held-out eval set) is tiny BY CONSTRUCTION at
+        // any corpus scale — hint it rather than trusting size
+        // estimation, so the big corpus side never shuffles on h
+        // (PlanSuite asserts the BroadcastHashJoin)
         sh.where(col("doc_id") % 97 =!= 0)
-          .join(probe, "h")
+          .join(broadcast(probe), "h")
           .groupBy("doc_id")
           .agg(countDistinct("h").as("n_shared_shingles"),
             countDistinct("probe_id").as("n_probe_docs"))

@@ -138,8 +138,9 @@ object TimeSeries {
     "ts_anomaly" -> Q(
       (s, d) => {
         val n = count(lit(1)).cast("double")
-        val sv = dsum(col("value"))
-        val sv2 = dsum(col("value") * col("value"))
+        // one shared non-finite flag feeds both moments (5 aggregate
+        // buffers, not 6) — bit-identical to two dsums, see dsumMoments
+        val (sv, sv2) = dsumMoments(col("value"))
         // Degenerate-group contract (both engines): a singleton type
         // (n = 1 → sample variance undefined) or a constant-valued type
         // (sd = 0) gets sd NULL, so every z is NULL → n_anom 0, max_absz
@@ -151,13 +152,16 @@ object TimeSeries {
         val stats = E(s, d).groupBy("event_type").agg(
           (sv / n).as("mu"),
           sqrt(when(varOp < 0.0, lit(0.0)).otherwise(varOp)).as("sd"))
-        val z = abs((col("value") - col("mu")) / nullif(col("sd"), lit(0.0)))
+        // project z ONCE before the two aggregates (count_if + max used
+        // to each re-derive it from value/mu/sd inside the agg)
         E(s, d).join(broadcast(stats), "event_type")
+          .select(col("event_type"),
+            abs((col("value") - col("mu")) / nullif(col("sd"), lit(0.0)))
+              .as("z"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"),
-            expr("count_if(abs((value - mu) / nullif(sd, 0.0d)) > 3.0)")
-              .as("n_anom"),
-            max(z).as("max_absz"))
+            expr("count_if(z > 3.0)").as("n_anom"),
+            max("z").as("max_absz"))
           .orderBy("event_type")
       },
       Some {

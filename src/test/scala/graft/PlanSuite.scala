@@ -347,6 +347,42 @@ class PlanSuite extends SparkSpec {
     }
   }
 
+  test("round-13 extras keep their intended shapes (backfill/span/decontaminate/pagerank)") {
+    // ts_backfill: one corpus scan; shuffles = the user_id window pair
+    // (dedup on (user_id,t), intervals on user_id) + presentation sort.
+    val bf = SparkEntry.queries("ts_backfill")(spark, sf)
+    val bfPlan = formatted(bf)
+    assert("FileScan".r.findAllIn(bfPlan).size == 1,
+      s"ts_backfill re-scans events:\n${bfPlan.take(2000)}")
+    assert(countShuffles(bf) <= 3,
+      s"ts_backfill grew shuffles: ${countShuffles(bf)}")
+    // dedup_span: the span inventory materializes ONCE (checkpoint) — the
+    // final plan joins two reads of it with NO corpus re-scan.
+    val span = SparkEntry.queries("dedup_span")(spark, sf)
+    val spanPlan = formatted(span)
+    assert(!spanPlan.contains("CartesianProduct"), spanPlan.take(2000))
+    assert("FileScan".r.findAllIn(spanPlan).size == 0,
+      s"dedup_span re-tokenizes the corpus:\n${spanPlan.take(2000)}")
+    // text_decontaminate: the held-out probe side is broadcast BY HINT —
+    // the corpus side must never shuffle on the 32-byte shingle hash.
+    val dc = SparkEntry.queries("text_decontaminate")(spark, sf)
+    val dcPlan = formatted(dc)
+    assert(dcPlan.contains("BroadcastHashJoin"),
+      s"text_decontaminate probe side is not broadcast:\n${dcPlan.take(2000)}")
+    assert(!dcPlan.contains("SortMergeJoin"),
+      s"text_decontaminate shuffles the corpus on h:\n${dcPlan.take(2000)}")
+    // graph_pagerank: per-iteration work (join(ranks)+agg, one shuffle)
+    // happens behind iterCheckpoint — the FINAL plan must be only the
+    // presentation pass over the checkpointed ranks: no joins survive.
+    val pr = SparkEntry.queries("graph_pagerank")(spark, sf)
+    val prPlan = formatted(pr)
+    assert(!prPlan.contains("CartesianProduct"), prPlan.take(2000))
+    assert(!prPlan.contains("Join"),
+      s"graph_pagerank final plan re-derives iteration joins:\n${prPlan.take(2000)}")
+    assert(countShuffles(pr) <= 1,
+      s"graph_pagerank presentation pass grew shuffles: ${countShuffles(pr)}")
+  }
+
   test("kmeans_conv round: point data never shuffles, probe is narrow") {
     // One convergence-loop round over a materialized assignment. The only
     // shuffles allowed are the two K-row centroid aggregations (recompute

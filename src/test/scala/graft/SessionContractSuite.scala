@@ -37,10 +37,22 @@ class SessionContractSuite extends SparkSpec {
     val r = spark.range(1).select(
       lower(lit("\u0130")).as("li"), // dotted capital I
       upper(lit("straße")).as("us"), // straße
-      lower(lit("STRAßE")).as("ls")).collect().head
+      lower(lit("STRAßE")).as("ls"),
+      lower(lit("ΟΔΟΣ")).as("gs")) // uppercase Greek
+      .collect().head
     assert(r.getString(0) == "i\u0307",
       "lower(U+0130) must be i + combining dot")
     assert(r.getString(1) == "STRASSE", "upper(ß) must be SS")
     assert(r.getString(2) == "straße", "lower(ß) must stay ß")
+    // CONDITIONAL mapping boundary (round-13 ADVICE): the JVM's
+    // final-sigma rule lowers word-final Σ to ς (U+03C2) where DuckDB's
+    // simple folding always yields σ (U+03C3). The oracle mirrors
+    // deliberately do NOT pre-expand it -- a conditional mapping has no
+    // positional replace() mirror -- so uppercase Greek text is OUT of
+    // the lower()-based oracles' validity domain (like dedup_edit's
+    // ASCII-'en' bound). This pin makes the exclusion an explicit
+    // engine fact rather than a silent divergence-in-waiting.
+    assert(r.getString(3) == "οδος",
+      "JVM final-sigma rule: lower(ΟΔΟΣ) must end in ς (U+03C2)")
   }
 }

@@ -121,6 +121,18 @@ def main():
     regressions = sorted(
         ((k, r) for k, r in ratios.items() if r > 2.0 and r / med > 2.0),
         key=lambda kv: -kv[1])
+    # Borderline visibility (round-13 ADVICE): a query past the raw gate
+    # but inside the normalized one would otherwise fold silently into an
+    # OK verdict on a moderately loaded day (median 1.8x hides a 3.5x raw
+    # outlier at 1.94x normalized). WARN without failing so it stays
+    # visible for the next quiet-host run to adjudicate.
+    for k, r in sorted(ratios.items(), key=lambda kv: -kv[1]):
+        if r > 2.0 and r / med <= 2.0:
+            rec = base_q.get(k)
+            rec_s = f"{rec} s" if rec is not None else f"<{elide_bound} s"
+            print(f"  WARN borderline: {k} {queries[k]} s vs recorded "
+                  f"{rec_s} ({r:.1f}x raw, {r / med:.1f}x normalized) — "
+                  f"inside the normalized gate; re-check on a quiet host")
     if regressions or failed:
         print("verdict: ISOLATED_REGRESSION — specific queries moved far "
               f"beyond the day's median ({med:.2f}x):")

@@ -189,8 +189,13 @@ def main():
       TO '{zv}/embeddings.parquet' (FORMAT PARQUET)""")
     sp = f"{base}/spicy"
     copy_tables(con, src, sp, skip=("documents",))
+    # n_chars = length(text) is recomputed over the WHOLE vintage (outer
+    # SELECT): the mutations append to text and the giant docs previously
+    # hardcoded a wrong count (round-13 ADVICE: 900001's real length is
+    # 189999, not 50000*4-1) — every vintage keeps the base invariant.
     con.execute(f"""
-      COPY (SELECT doc_id,
+      COPY (SELECT doc_id, text, lang, source, length(text) AS n_chars
+            FROM (SELECT doc_id,
               CASE
                 WHEN lang <> 'en' AND doc_id % 23 = 0
                   THEN text || ' straße grüße İstanbul Iı'
@@ -210,13 +215,13 @@ def main():
             SELECT 900001, array_to_string(
                      list_transform(range(50000), i -> 't' || (i % 50)),
                      ' '),
-                   'en', 'web', 50000 * 4 - 1
+                   'en', 'web', 0
             UNION ALL
-            SELECT 900002, repeat('x', 150000), 'en', 'web', 150000
+            SELECT 900002, repeat('x', 150000), 'en', 'web', 0
             UNION ALL
             SELECT 900003, '', 'en', 'web', 0
             UNION ALL
-            SELECT 900004, '   ', 'en', 'web', 3)
+            SELECT 900004, '   ', 'en', 'web', 0))
       TO '{sp}/documents.parquet' (FORMAT PARQUET)""")
     ep = f"{base}/epoch0"
     copy_tables(con, src, ep, skip=("events",))
