@@ -123,24 +123,24 @@ object Bench {
     //   dedup_mllsh    — MLlib MinHashLSH fit + approxSimilarityJoin
     //                    classload/JIT (BENCH_r08 charged pass 1 19.8 s vs
     //                    the 8–9 s steady-state fit+join itself)
-    //   heavy families — graph_*, dedup_ngram/cluster/span, kmeans,
-    //                    agg_group, text_collocation/text_tfidf: round-11
-    //                    measured pass 1 = 109.7 s vs 89.6 s steady on the
-    //                    same quiet host — ~20 s of codegen JIT and
-    //                    first-materialization concentrated in these. When
-    //                    host contention makes the driver's 230 s budget
-    //                    record pass 1 ALONE, that one-time cost lands in
-    //                    the driver-visible total; warming it keeps pass 1
-    //                    at the steady-state shape (round-12 VERDICT 2).
+    // Round-13 trim (VERDICT 3): the round-12 list also warmed the heavy
+    // families (graph_*, dedup_ngram/cluster/span, kmeans_conv, agg_group,
+    // text_collocation/text_tfidf) to keep pass 1 pretty under the
+    // pass-1-only contention scenario — but every warmed query's STEADY
+    // cost is duplicated wall-clock inside the driver's 230 s budget, and
+    // those nine queries re-spent ~11 s per run. Their one-time cost is
+    // pure JIT/first-materialization (~20 s total) which min-of-N already
+    // absorbs whenever ≥2 passes complete; only the write-once corpora
+    // (mm_pipeline's .nii scratch, join_bucketed's bucketed tables) and
+    // dedup_mllsh's MLlib classload are both LARGE and unavoidable-anyway,
+    // so only those stay warmed. Net: pass 3 fits the budget on a quiet
+    // host (the r12 run stopped at 2 passes, 243 s elapsed).
     // The corpora are memoized per (applicationId, sfDir), so every TIMED
     // pass measures the declared read path — the steady-state shape a
     // deployed pipeline has, not the first-ever-run setup cost.
     if (names.nonEmpty) {
       val warm = "scan_parquet" +:
-        Seq("mm_pipeline", "join_bucketed", "dedup_mllsh",
-          "graph_triangles", "graph_pagerank", "dedup_ngram",
-          "dedup_cluster", "dedup_span", "kmeans_conv", "agg_group",
-          "text_collocation", "text_tfidf")
+        Seq("mm_pipeline", "join_bucketed", "dedup_mllsh")
           .filter(w => names.exists(_._1 == w))
       for (w <- warm; q <- SparkEntry.queries.get(w))
         try q(spark, sfDir).write.mode("overwrite").format("noop").save()

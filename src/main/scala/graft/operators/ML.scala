@@ -121,7 +121,8 @@ object ML {
                      ORDER BY ${oDist2("p.e", "c.ce")} ASC, c.cid ASC) AS rn
             FROM $pts p, $cents c) WHERE rn = 1"""
     def oMean(i: Int): String =
-      s"CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS DOUBLE) / count(*)"
+      s"CAST(CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)" +
+      s" / count(*)"
     def oRecompute(a: String): String =
       s"""SELECT cid, [${(1 to 4).map(oMean).mkString(", ")}] AS ce
           FROM $a GROUP BY cid"""
@@ -172,8 +173,9 @@ object ML {
                          AS rn
                 FROM embeddings, cents)
               SELECT cid, count(*) AS n,
-                     CAST(sum(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,10)))
-                       AS DOUBLE) / count(*) AS mean_d1
+                     CAST(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE)
+                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                       / count(*) AS mean_d1
               FROM assigned WHERE rn = 1
               GROUP BY cid ORDER BY cid""")),
 

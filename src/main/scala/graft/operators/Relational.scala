@@ -727,7 +727,7 @@ object Relational {
         val n = "CAST(count(*) AS DOUBLE)"
         val qx = "CAST(l_quantity AS DECIMAL(19,0))"
         val qy = "CAST(l_extendedprice*100 AS DECIMAL(19,0))"
-        def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        def d0(e: String) = oDec2Dbl(s"sum($e)")
         val (sx, sy) = (d0(qx), d0(qy))
         val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx"); val syy = d0(s"$qy*$qy")
         def sqc(v: String) =
@@ -765,7 +765,7 @@ object Relational {
         val n = "CAST(count(*) AS DOUBLE)"
         val qx = "CAST(l_quantity AS DECIMAL(19,0))"
         val qy = "CAST(l_extendedprice*100 AS DECIMAL(19,0))"
-        def d0(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        def d0(e: String) = oDec2Dbl(s"sum($e)")
         val (sx, sy) = (d0(qx), d0(qy))
         val sxy = d0(s"$qx*$qy"); val sxx = d0(s"$qx*$qx")
         val slope = s"(($n*$sxy - $sx*$sy) / nullif($n*$sxx - $sx*$sx, 0.0))"
@@ -1047,7 +1047,7 @@ object Relational {
       Some {
         val x = "CAST(l_quantity AS DECIMAL(5,0))"
         val n = "CAST(count(*) AS DOUBLE)"
-        def ds(e: String) = s"CAST(sum($e) AS DOUBLE)"
+        def ds(e: String) = oDec2Dbl(s"sum($e)")
         val s1 = ds(x); val s2 = ds(s"$x*$x")
         val s3 = ds(s"$x*$x*$x"); val s4 = ds(s"$x*$x*$x*$x")
         val mu = s"($s1 / $n)"

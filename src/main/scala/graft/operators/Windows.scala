@@ -59,10 +59,10 @@ object Windows {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-                     CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER
+                     CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER
                        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS DOUBLE) AS cum_spend
+                       AS VARCHAR) AS DOUBLE) AS cum_spend
               FROM orders ORDER BY o_custkey, o_orderkey""")),
 
     // Inter-event gap per user in µs (integer arithmetic → exact parity).
@@ -114,7 +114,8 @@ object Windows {
                        sum(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
                 FROM orders GROUP BY 1)
               SELECT epoch_day,
-                     CAST(sum(rev) OVER w AS DOUBLE) / count(*) OVER w AS avg7
+                     CAST(CAST(sum(rev) OVER w AS VARCHAR) AS DOUBLE)
+                       / count(*) OVER w AS avg7
               FROM daily
               WINDOW w AS (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY epoch_day""")),
