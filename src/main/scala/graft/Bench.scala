@@ -142,9 +142,14 @@ object Bench {
       val warm = "scan_parquet" +:
         Seq("mm_pipeline", "join_bucketed", "dedup_mllsh")
           .filter(w => names.exists(_._1 == w))
-      for (w <- warm; q <- SparkEntry.queries.get(w))
+      for (w <- warm; q <- SparkEntry.queries.get(w)) {
+        val w0 = elapsedS
         try q(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case NonFatal(_) => }
+        // stderr diagnostics only (the stdout tail is the driver contract):
+        // which warmups still pay for themselves is re-decided per round
+        System.err.println(f"[bench] warmup $w ${elapsedS - w0}%.1fs")
+      }
     }
     var pass = 0
     var lastPassDur = 0.0

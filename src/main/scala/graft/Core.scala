@@ -133,6 +133,74 @@ object Scratch {
       s"/graft_rt_${tag}_${s.sparkContext.applicationId}"
     dirs.put(p, ()); p
   }
+
+  /** Fingerprint of the source files a derived corpus was built from:
+    * (path, length, mtime) of every file under each root, so a vintage
+    * swap at the same path (it has happened — the ns→µs re-encode)
+    * invalidates the corpus instead of silently serving stale bytes. */
+  def fingerprint(s: SparkSession, paths: Seq[String]): String = {
+    val hconf = s.sessionState.newHadoopConf()
+    paths.sorted.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      def walk(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).sortBy(_.getPath.getName).flatMap(walk).toSeq
+        else Seq(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      if (fs.exists(hp)) walk(fs.getFileStatus(hp)).mkString(",") else "absent"
+    }.mkString(";")
+  }
+
+  /** Cross-JVM persistent corpus dir (derived, deterministic data only —
+    * the mm_pipeline .nii corpus, join_bucketed's bucketed tables): the
+    * driver re-launches Verify and Bench as fresh JVMs every round, and
+    * re-encoding an unchanged corpus each launch is pure duplicated
+    * wall-clock inside the bench budget. Layout:
+    *   <base>/graft_corpus_<tag>/        the corpus (atomically renamed in)
+    *   <base>/graft_corpus_<tag>/_GRAFT_COMPLETE   sentinel = fingerprint
+    * Returns the final path. `build` receives a STAGING path on the same
+    * filesystem and must write the complete corpus there; the rename into
+    * place is atomic on local FS and HDFS, so a killed JVM leaves only a
+    * staging dir (cleaned at next build), never a half corpus behind the
+    * sentinel. A sentinel whose fingerprint mismatches the current source
+    * triggers a rebuild. NOT registered for exit deletion. */
+  def persistent(s: SparkSession, tag: String, sources: Seq[String])(
+      build: String => Unit): String = {
+    val base = s.conf.getOption("spark.graft.scratchDir")
+      .getOrElse(sys.props("java.io.tmpdir")).stripSuffix("/")
+    val p = s"$base/graft_corpus_$tag"
+    val fp = fingerprint(s, sources)
+    val hconf = s.sessionState.newHadoopConf()
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(hconf)
+    val sentinel = new org.apache.hadoop.fs.Path(p, "_GRAFT_COMPLETE")
+    val fresh = fs.exists(sentinel) && {
+      val in = fs.open(sentinel)
+      try {
+        val b = new Array[Byte](fs.getFileStatus(sentinel).getLen.toInt)
+        in.readFully(b); new String(b, "UTF-8") == fp
+      } finally in.close()
+    }
+    if (!fresh) {
+      val staging = new org.apache.hadoop.fs.Path(
+        s"${p}_staging_${s.sparkContext.applicationId}")
+      fs.delete(staging, true)
+      fs.mkdirs(staging)
+      build(staging.toString)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(staging, "_GRAFT_COMPLETE"), true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+      fs.delete(hp, true)
+      if (!fs.rename(staging, hp)) {
+        // lost a race to a concurrent builder — its corpus carries the same
+        // fingerprint (same sources), so adopt it and drop the staging copy
+        fs.delete(staging, true)
+        require(fs.exists(sentinel), s"persistent corpus $p: rename failed " +
+          "and no winner present")
+      }
+    }
+    p
+  }
 }
 
 /** Oracle-parity aggregation helpers.

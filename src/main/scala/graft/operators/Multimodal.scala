@@ -83,9 +83,15 @@ object Multimodal {
   private val VoxOffset = 352 // header + 4-byte empty extender
   private val DtFloat32 = 16  // NIFTI_TYPE_FLOAT32
 
-  /** Write-once .nii scratch dirs, keyed by (applicationId, sfDir) — the
-    * join_bucketed pattern: the one-time encode+write is corpus prep, the
-    * declared query measures the read→decode→reduce path. */
+  /** Write-once .nii scratch dirs — the join_bucketed pattern: the one-time
+    * encode+write is corpus prep, the declared query measures the
+    * read→decode→reduce path. The corpus is PERSISTENT across JVMs
+    * (Scratch.persistent, fingerprint-keyed on the source embeddings
+    * parquet): the driver launches Verify then Bench as separate JVMs each
+    * round, and re-encoding 2,000 unchanged blobs per launch was ~7 s of
+    * duplicated wall-clock inside the bench budget. This map only memoizes
+    * the resolved path per (app, sfDir) so one JVM checks the sentinel
+    * once. */
   private val niftiReady =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
@@ -302,39 +308,39 @@ object Multimodal {
         import s.implicits._
         val dir = niftiReady.computeIfAbsent(
           (s.sparkContext.applicationId, d), { _ =>
-            // the sfDir must be part of the scratch tag: the cache key is
-            // (app, sfDir) but Scratch.dir is per (tag, app) — two sfDirs
-            // in one JVM would otherwise share a directory and the glob
-            // would read a mixed corpus
-            val out = Scratch.dir(s,
-              "nii_" + d.replaceAll("[^a-zA-Z0-9]", "_"))
-            val outP = new org.apache.hadoop.fs.Path(out)
-            outP.getFileSystem(s.sparkContext.hadoopConfiguration)
-              .mkdirs(outP)
-            // session Hadoop conf (spark.hadoop.* credentials, fs.defaultFS)
-            // captured driver-side and shipped to the writing tasks — a bare
-            // new Configuration() would resolve the wrong filesystem on a
-            // cluster whose scratchDir points at HDFS/S3 (round-8 ADVICE)
-            val hconf = new graft.sources.SerializableHadoopConf(
-              s.sessionState.newHadoopConf())
-            Tables.t(s, d, "embeddings")
-              .select(col("vec_id"), col("embedding"))
-              .as[(Long, Array[Float])]
-              .foreachPartition { it: Iterator[(Long, Array[Float])] =>
-                val fs = new org.apache.hadoop.fs.Path(out)
-                  .getFileSystem(hconf.value)
-                // no .crc sidecars: the local FS wraps ChecksumFileSystem,
-                // and a second create per 352-byte blob is 6× the write
-                // cost (measured 2.9 s → 18.2 s for the 2,000-file corpus)
-                fs.setWriteChecksum(false)
-                it.foreach { case (id, emb) =>
-                  val os = fs.create(
-                    new org.apache.hadoop.fs.Path(s"$out/block_$id.nii"), true)
-                  try os.write(encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f))
-                  finally os.close()
+            // the sfDir must be part of the corpus tag: two sfDirs would
+            // otherwise share a directory and the glob would read a mixed
+            // corpus
+            Scratch.persistent(s,
+              "nii_" + d.replaceAll("[^a-zA-Z0-9]", "_"),
+              Seq(s"$d/embeddings.parquet")) { out =>
+              // session Hadoop conf (spark.hadoop.* credentials,
+              // fs.defaultFS) captured driver-side and shipped to the
+              // writing tasks — a bare new Configuration() would resolve
+              // the wrong filesystem on a cluster whose scratchDir points
+              // at HDFS/S3 (round-8 ADVICE)
+              val hconf = new graft.sources.SerializableHadoopConf(
+                s.sessionState.newHadoopConf())
+              Tables.t(s, d, "embeddings")
+                .select(col("vec_id"), col("embedding"))
+                .as[(Long, Array[Float])]
+                .foreachPartition { it: Iterator[(Long, Array[Float])] =>
+                  val fs = new org.apache.hadoop.fs.Path(out)
+                    .getFileSystem(hconf.value)
+                  // no .crc sidecars: the local FS wraps
+                  // ChecksumFileSystem, and a second create per 352-byte
+                  // blob is 6× the write cost (measured 2.9 s → 18.2 s for
+                  // the 2,000-file corpus)
+                  fs.setWriteChecksum(false)
+                  it.foreach { case (id, emb) =>
+                    val os = fs.create(
+                      new org.apache.hadoop.fs.Path(s"$out/block_$id.nii"),
+                      true)
+                    try os.write(encodeNifti(emb, (4, 4, 4), 2.0f, 0.5f))
+                    finally os.close()
+                  }
                 }
-              }
-            out
+            }
           })
         readBlobs(s, dir, "*.nii")
           .select(

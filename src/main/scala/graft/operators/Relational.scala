@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{Q, Scratch, Tables}
 import graft.Par._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1070,23 +1070,46 @@ object Relational {
     // the pre-shuffle that makes every repeated fact-fact join free.
     "join_bucketed" -> Q(
       (s, d) => {
-        // Bucketed layout is write-once/join-many: the tables are created
-        // once per (application, sfDir) and every subsequent build joins
-        // the on-disk buckets — which is exactly what the op measures
-        // (query-time zero-shuffle join, not the one-time pre-shuffle).
-        // The join itself still reads+merges from disk on every run.
+        // Bucketed layout is write-once/join-many: the on-disk buckets are
+        // PERSISTENT across JVMs (Scratch.persistent, fingerprinted on the
+        // source lineitem+orders parquet — bucketBy hashing is
+        // deterministic, so the layout is a pure function of the source),
+        // because the driver launches Verify and Bench as fresh JVMs every
+        // round and re-pre-shuffling an unchanged corpus each launch is
+        // duplicated wall-clock. What IS per-JVM is the catalog entry (the
+        // in-memory catalog dies with the session), so each application
+        // re-registers the existing buckets with CLUSTERED BY DDL — the
+        // declared query still measures the query-time zero-shuffle join,
+        // reading+merging from disk on every run.
         val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
         val (liT, ordT) = (s"graft_li_bkt_$tag", s"graft_ord_bkt_$tag")
         bktReady.computeIfAbsent((s.sparkContext.applicationId, d), { _ =>
-          val wh = rtTmp(s, "bkt", d)
-          s.sql(s"DROP TABLE IF EXISTS $liT")
-          s.sql(s"DROP TABLE IF EXISTS $ordT")
-          L(s, d).select("l_orderkey", "l_quantity")
-            .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"$wh/li").saveAsTable(liT)
-          O(s, d).select("o_orderkey", "o_orderpriority")
-            .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"$wh/ord").saveAsTable(ordT)
+          val wh = Scratch.persistent(s, s"bkt_$tag",
+            Seq(s"$d/lineitem.parquet", s"$d/orders.parquet")) { staging =>
+            // saveAsTable is the only writer of bucket-id file names; the
+            // temp catalog entries are dropped right after (external
+            // tables keep their files) and the final CREATE below points
+            // at the renamed location
+            L(s, d).select("l_orderkey", "l_quantity")
+              .write.mode("overwrite")
+              .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+              .option("path", s"$staging/li").saveAsTable(s"${liT}_stg")
+            O(s, d).select("o_orderkey", "o_orderpriority")
+              .write.mode("overwrite")
+              .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+              .option("path", s"$staging/ord").saveAsTable(s"${ordT}_stg")
+            s.sql(s"DROP TABLE ${liT}_stg")
+            s.sql(s"DROP TABLE ${ordT}_stg")
+          }
+          def register(t: String, sub: String, key: String): Unit = {
+            s.sql(s"DROP TABLE IF EXISTS $t")
+            val ddl = s.read.parquet(s"$wh/$sub").schema.toDDL
+            s.sql(s"""CREATE TABLE $t ($ddl) USING PARQUET
+                      CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                      LOCATION '$wh/$sub'""")
+          }
+          register(liT, "li", "l_orderkey")
+          register(ordT, "ord", "o_orderkey")
           true
         })
         s.table(ordT)

@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Contract of [[Scratch.persistent]] — the cross-JVM corpus cache behind
+  * mm_pipeline's .nii blobs and join_bucketed's bucketed tables. The
+  * properties that matter operationally:
+  *   1. build runs ONCE for an unchanged source (the bench-budget win);
+  *   2. a source change at the same path (the ns→µs vintage swap precedent)
+  *      invalidates the corpus — stale bytes are never served;
+  *   3. the sentinel only appears with a COMPLETE corpus (rename-in), so a
+  *      JVM killed mid-build leaves no half corpus behind the sentinel.
+  */
+class ScratchPersistSuite extends SparkSpec {
+
+  private def tmpSrc(): java.io.File = {
+    val d = Files.createTempDirectory("graft_sps_src").toFile
+    Files.writeString(Paths.get(d.getPath, "src.parquet"), "v1")
+    d
+  }
+
+  test("builds once, then reuses for an unchanged source") {
+    var builds = 0
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    def run(): String = Scratch.persistent(spark, tag,
+      Seq(s"${src.getPath}/src.parquet")) { staging =>
+      builds += 1
+      Files.writeString(Paths.get(staging, "corpus.bin"), "built")
+    }
+    val p1 = run()
+    val p2 = run()
+    assert(p1 == p2 && builds == 1, "second call must reuse, not rebuild")
+    assert(Files.readString(Paths.get(p1, "corpus.bin")) == "built")
+    assert(Files.exists(Paths.get(p1, "_GRAFT_COMPLETE")),
+      "sentinel must be present in the final dir")
+  }
+
+  test("a changed source at the same path invalidates the corpus") {
+    var gen = 0
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    def run(): String = Scratch.persistent(spark, tag,
+      Seq(s"${src.getPath}/src.parquet")) { staging =>
+      gen += 1
+      Files.writeString(Paths.get(staging, "corpus.bin"), s"gen$gen")
+    }
+    val p1 = run()
+    assert(Files.readString(Paths.get(p1, "corpus.bin")) == "gen1")
+    // same length, different mtime — the weakest change the fingerprint
+    // must still catch (a re-generated vintage can be byte-length-equal)
+    val f = Paths.get(src.getPath, "src.parquet")
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(f).toMillis + 5000))
+    val p2 = run()
+    assert(p2 == p1 && gen == 2, "mtime change must trigger a rebuild")
+    assert(Files.readString(Paths.get(p2, "corpus.bin")) == "gen2")
+  }
+
+  test("a failed build leaves no sentinel (no half corpus served later)") {
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    intercept[RuntimeException] {
+      Scratch.persistent(spark, tag, Seq(s"${src.getPath}/src.parquet")) {
+        staging =>
+          Files.writeString(Paths.get(staging, "partial.bin"), "half")
+          throw new RuntimeException("simulated mid-build death")
+      }
+    }
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    assert(!Files.exists(Paths.get(s"$base/graft_corpus_$tag",
+      "_GRAFT_COMPLETE")), "no sentinel after a failed build")
+    // and the next call rebuilds cleanly
+    var rebuilt = false
+    val p = Scratch.persistent(spark, tag,
+      Seq(s"${src.getPath}/src.parquet")) { staging =>
+      rebuilt = true
+      Files.writeString(Paths.get(staging, "corpus.bin"), "ok")
+    }
+    assert(rebuilt && Files.readString(Paths.get(p, "corpus.bin")) == "ok")
+  }
+}

@@ -3,7 +3,7 @@
 
 Usage: python3 tools/mangle.py <srcSfDir> <outBaseDir>
 
-Produces eight full 10-table vintages under <outBaseDir>/:
+Produces nine full 10-table vintages under <outBaseDir>/:
   nonfinite/  events.value seeded with NaN (id%19), +Inf (id%23), -Inf (id%29)
   nulls/      the NullInputSuite recipe: NULL documents text/lang/source/
               n_chars (doc_id%7/11/13/7), NULL events value/props/event_type
@@ -11,6 +11,13 @@ Produces eight full 10-table vintages under <outBaseDir>/:
   hotuser/    events replaced by a power-law stream: user 1 holds 5,000
               events 10s apart (one session, completes the funnel); 50 cold
               users hold 6 hourly view-only events each
+  hotscale/   skew AT SCALE (bench vintage, round-13 VERDICT 4): the REAL
+              src events table with 95% of rows reassigned to user 1
+              (event_id % 20 <> 0 -> user_id 1), everything else untouched —
+              hotuser above is a tiny fixed correctness fixture (5,300
+              rows); this one keeps the src's full row count so the
+              ts_*/session/window family can be wall-clock-benchmarked with
+              one user owning 95% of the stream
   chaos/      nulls ∘ nonfinite composed: the NULL recipe applied on top of
               non-finite events.value (a NULL and a NaN can land in the same
               group/frame — the interaction surface none of the single
@@ -156,6 +163,16 @@ def main():
         FROM range(100, 150) s(u), range(6) r(i))
       TO '{hot}/events.parquet' (FORMAT PARQUET)""")
 
+    hs = f"{base}/hotscale"
+    copy_tables(con, src, hs, skip=("events",))
+    con.execute(f"""
+      COPY (SELECT event_id, ts,
+              CASE WHEN event_id % 20 <> 0 THEN CAST(1 AS BIGINT)
+                   ELSE user_id END AS user_id,
+              event_type, value, props
+            FROM read_parquet('{src}/events.parquet'))
+      TO '{hs}/events.parquet' (FORMAT PARQUET)""")
+
     zv = f"{base}/zerovar"
     copy_tables(con, src, zv, skip=("events", "lineitem", "embeddings"))
     con.execute(f"""
@@ -276,7 +293,7 @@ def main():
               CASE WHEN vec_id % 11 = 0 THEN NULL ELSE label END AS label
             FROM read_parquet('{zv}/embeddings.parquet'))
       TO '{mc}/embeddings.parquet' (FORMAT PARQUET)""")
-    print(f"wrote {nf}, {nu}, {ch}, {hot}, {zv}, {sp}, {ep}, {mc}")
+    print(f"wrote {nf}, {nu}, {ch}, {hot}, {hs}, {zv}, {sp}, {ep}, {mc}")
 
 
 if __name__ == "__main__":
