@@ -12,7 +12,9 @@ All randomness is hash-based (DuckDB's stable 64-bit hash() of the row
 index + a per-column salt) — fully deterministic, no RNG state, parallel-
 safe. Distributions mirror the measurements:
   events.value   ~ Exp(mean 50) rounded to 2dp  (p50 34.8 / p95 149 at sf0.1)
-  documents.text 10–100 tokens from the same 31-word vocabulary
+  documents.text 10–100 tokens, 60/40 common-vocab/4k-long-tail mix,
+                 planted exact (id%23) and near (id%17) duplicates
+  embeddings     planted near-identical pairs at vec_id%19
   embeddings     64-d float32 ~ N(0, 0.125) via Box–Muller
   lineitem       1–7 lines per order (uniform), prices/discount/tax/dates
                  in the sf0.1 domains
@@ -153,34 +155,82 @@ def main():
             FROM range({n_evt}) t(i))
       TO '{out}/events.parquet' (FORMAT PARQUET)""")
 
+    # Documents: a 60/40 mix of the 31-word common vocabulary and a 4,000-
+    # token long tail, so random docs have realistic pairwise Jaccard
+    # (near 0 — the original all-common-vocab draw made every long doc a
+    # token-SET near-dup of every other, 252k degenerate "pairs" at sf1,
+    # while edit/LSH/ngram dedup found 0 because nothing was planted).
+    # PLANTED duplicates, copying lang+source from the source doc so the
+    # blocked dedup families can see them:
+    #   doc_id % 23 = 0 (and > 0)  exact copy of doc_id - 1  (dedup_exact)
+    #   doc_id % 17 = 0 (and > 0,  near-dup: doc_id - 1 plus ONE appended
+    #     not % 23 = 0)            token -> set-Jaccard n/(n+1) >= 10/11
+    #                              (dedup_near/lsh/ngram/edit/simhash)
     vocab_sql = "[" + ",".join(f"'{w}'" for w in VOCAB) + "]"
     con.execute(f"""
-      COPY (SELECT doc_id, text, lang, source,
-              CAST(length(text) AS BIGINT) AS n_chars
-            FROM (
-              SELECT i AS doc_id,
-                array_to_string(list_transform(
-                  range(CAST(hash(i * 151 + 261) % 91 AS INTEGER) + 10),
-                  j -> {vocab_sql}[CAST(hash(i * 157 + j * 163 + 271) % 31
-                                   AS INTEGER) + 1]), ' ') AS text,
-                CASE WHEN hash(i * 167 + 281) % 100 < 41 THEN 'en'
-                     ELSE ['de','es','fr','zh'][CAST(
-                       hash(i * 173 + 291) % 4 AS INTEGER) + 1] END AS lang,
-                'src' || CAST(hash(i * 179 + 301) % 20 AS VARCHAR) AS source
-              FROM range({n_doc}) t(i)))
+      COPY (
+        WITH base AS (
+          SELECT i AS doc_id,
+            array_to_string(list_transform(
+              range(CAST(hash(i * 151 + 261) % 91 AS INTEGER) + 10),
+              j -> CASE WHEN hash(i * 211 + j * 223 + 341) % 100 < 60
+                THEN {vocab_sql}[CAST(hash(i * 157 + j * 163 + 271) % 31
+                                 AS INTEGER) + 1]
+                ELSE 'w' || CAST(hash(i * 157 + j * 163 + 271) % 4000
+                            AS VARCHAR) END), ' ') AS text,
+            CASE WHEN hash(i * 167 + 281) % 100 < 41 THEN 'en'
+                 ELSE ['de','es','fr','zh'][CAST(
+                   hash(i * 173 + 291) % 4 AS INTEGER) + 1] END AS lang,
+            'src' || CAST(hash(i * 179 + 301) % 20 AS VARCHAR) AS source
+          FROM range({n_doc}) t(i))
+        SELECT b.doc_id,
+          CASE WHEN b.doc_id > 0 AND b.doc_id % 23 = 0 THEN p.text
+               WHEN b.doc_id > 0 AND b.doc_id % 17 = 0
+                 THEN p.text || ' w' ||
+                   CAST(hash(b.doc_id * 227 + 351) % 4000 AS VARCHAR)
+               ELSE b.text END AS text,
+          CASE WHEN b.doc_id > 0 AND
+                    (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
+               THEN p.lang ELSE b.lang END AS lang,
+          CASE WHEN b.doc_id > 0 AND
+                    (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
+               THEN p.source ELSE b.source END AS source,
+          CAST(length(CASE WHEN b.doc_id > 0 AND b.doc_id % 23 = 0
+                THEN p.text
+               WHEN b.doc_id > 0 AND b.doc_id % 17 = 0
+                 THEN p.text || ' w' ||
+                   CAST(hash(b.doc_id * 227 + 351) % 4000 AS VARCHAR)
+               ELSE b.text END) AS BIGINT) AS n_chars
+        FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1
+        ORDER BY b.doc_id)
       TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
-    # Box–Muller normals, float32, ~N(0, 0.125) like the driver vectors
+    # Box–Muller normals, float32, ~N(0, 0.125) like the driver vectors.
+    # vec_id % 19 = 0 (and > 0) is a PLANTED near-duplicate of vec_id - 1
+    # (first component nudged by +0.001, cosine ~ 0.9999) so the
+    # dedup_embed / ANN families have non-vacuous positives at any sf —
+    # independent normal draws are near-orthogonal in 64-d.
     con.execute(f"""
-      COPY (SELECT i AS vec_id,
-              CAST(list_transform(range(64), j -> CAST(
-                0.125 * sqrt(-2.0 * ln(1.0 - ((hash(i * 181 + j * 191 + 311)
-                  % 1000000000) / 1000000000.0)))
-                * cos(2.0 * pi() * ((hash(i * 193 + j * 197 + 321)
-                  % 1000000000) / 1000000000.0))
-                AS FLOAT)) AS FLOAT[]) AS embedding,
-              CAST(hash(i * 199 + 331) % 10 AS INTEGER) AS label
-            FROM range({n_emb}) t(i))
+      COPY (
+        WITH base AS (
+          SELECT i AS vec_id,
+            CAST(list_transform(range(64), j -> CAST(
+              0.125 * sqrt(-2.0 * ln(1.0 - ((hash(i * 181 + j * 191 + 311)
+                % 1000000000) / 1000000000.0)))
+              * cos(2.0 * pi() * ((hash(i * 193 + j * 197 + 321)
+                % 1000000000) / 1000000000.0))
+              AS FLOAT)) AS FLOAT[]) AS embedding,
+            CAST(hash(i * 199 + 331) % 10 AS INTEGER) AS label
+          FROM range({n_emb}) t(i))
+        SELECT b.vec_id,
+          CASE WHEN b.vec_id > 0 AND b.vec_id % 19 = 0
+            THEN CAST(list_prepend(CAST(p.embedding[1] + 0.001 AS FLOAT),
+                                   p.embedding[2:]) AS FLOAT[])
+            ELSE b.embedding END AS embedding,
+          CASE WHEN b.vec_id > 0 AND b.vec_id % 19 = 0 THEN p.label
+               ELSE b.label END AS label
+        FROM base b LEFT JOIN base p ON p.vec_id = b.vec_id - 1
+        ORDER BY b.vec_id)
       TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
 
     print(f"wrote sf{sf} ({n_ord} orders, ~{n_ord * 4} lineitem, "
