@@ -417,9 +417,14 @@ object Relational {
     // FORWARD as-of: earliest signup at-or-after each purchase, per user —
     // the look-ahead direction (next price tick, next deploy after an
     // alert). Same 100 TB-safe shape as join_asof: one shuffle on user_id,
-    // a first-non-null look-AHEAD window, no join explosion. At equal ts
-    // the signup sorts after the purchase (kind asc) so the forward frame
-    // still sees it — matching the oracle's s.ts >= p.ts.
+    // no join explosion. Formulated as a RUNNING frame over the REVERSED
+    // sort (last non-null in the desc prefix ≡ first non-null in the asc
+    // suffix): Spark's (currentRow, unboundedFollowing) frame is
+    // recomputed per row — O(rows²) per partition, measured 0.3 s → 53 s
+    // on the hotscale vintage where one user holds 95% of events — while
+    // running frames fold incrementally in O(rows). At equal ts the
+    // signup (kind 1) sorts BEFORE the purchase under desc, so the
+    // running prefix still sees it — matching the oracle's s.ts >= p.ts.
     "join_asof_fwd" -> Q(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -427,10 +432,11 @@ object Relational {
           .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
             when(col("event_type") === "signup", col("ts")).as("sig_ts"),
             when(col("event_type") === "signup", 1).otherwise(0).as("kind"))
-        val w = Window.partitionBy("user_id").orderBy("ts", "kind")
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("kind").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ev.withColumn("next_signup_ts",
-            first("sig_ts", ignoreNulls = true).over(w))
+            last("sig_ts", ignoreNulls = true).over(w))
           .where(col("event_type") === "purchase")
           .select("event_id", "next_signup_ts")
           .orderBy("event_id")
