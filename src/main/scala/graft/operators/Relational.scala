@@ -1107,15 +1107,21 @@ object Relational {
             s.sql(s"DROP TABLE ${liT}_stg")
             s.sql(s"DROP TABLE ${ordT}_stg")
           }
-          def register(t: String, sub: String, key: String): Unit = {
+          // schema comes from the SOURCE projection, not a read-back of the
+          // written files: an empty source writes no parquet footers, and
+          // UNABLE_TO_INFER_SCHEMA on re-registration would turn
+          // empty-input into a crash (EmptyInputSuite caught exactly this)
+          def register(t: String, sub: String, key: String,
+              schema: org.apache.spark.sql.types.StructType): Unit = {
             s.sql(s"DROP TABLE IF EXISTS $t")
-            val ddl = s.read.parquet(s"$wh/$sub").schema.toDDL
-            s.sql(s"""CREATE TABLE $t ($ddl) USING PARQUET
+            s.sql(s"""CREATE TABLE $t (${schema.toDDL}) USING PARQUET
                       CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                       LOCATION '$wh/$sub'""")
           }
-          register(liT, "li", "l_orderkey")
-          register(ordT, "ord", "o_orderkey")
+          register(liT, "li", "l_orderkey",
+            L(s, d).select("l_orderkey", "l_quantity").schema)
+          register(ordT, "ord", "o_orderkey",
+            O(s, d).select("o_orderkey", "o_orderpriority").schema)
           true
         })
         s.table(ordT)
