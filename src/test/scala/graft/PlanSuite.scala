@@ -214,6 +214,19 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("dedup_near keeps the prefix-filter formulation (no all-token pairs)") {
+    // the round-13 AllPairs/PPJoin shape: a `slice` builds the rarest-token
+    // prefix that feeds the candidate equi-join, and `array_intersect`
+    // verifies exact Jaccard on candidates only. If either disappears the
+    // formulation has regressed to a per-shared-token candidate generator —
+    // the Σ C(df,2) blowup measured at 27.7 s/query at sf1.
+    val plan = formatted(SparkEntry.queries("dedup_near")(spark, sf))
+    assert(plan.contains("slice"), plan.take(3000))
+    assert(plan.contains("array_intersect"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("sql_subquery is decorrelated into a join (no per-row subquery)") {
     val df = SparkEntry.queries("sql_subquery")(spark, sf)
     val plan = formatted(df)
