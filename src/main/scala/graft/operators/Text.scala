@@ -70,8 +70,18 @@ object Text {
       .agg(array_sort(collect_list(struct(col("df"), col("token"))))
         .as("ord"))
       .select(col("doc_id"), col("lang"), col("source"), col("band"),
+        // prefix length n − ⌈t·n⌉ + 1 in EXACT integer arithmetic
+        // (thr is a 2-dp constant, so ⌈n·t⌉ = (n·(100t) + 99) div 100).
+        // A double ceil(n*t) happens to be safe for .9/.8 (the product's
+        // relative error is under half an ulp, so fl(n·t_d) = n·t when
+        // n·t is integral), but that safety needs a per-threshold
+        // rounding proof and silently DROPS qualifying pairs if it ever
+        // fails — an over-long prefix only costs candidates, an
+        // under-long one loses results. Integer arithmetic needs no
+        // proof. OperatorSuite pins the J = 0.9 boundary pair.
         explode(slice(expr("transform(ord, x -> x.token)"), lit(1),
-          (col("nt") - ceil(col("nt") * lit(thr)) + 1).cast("int")))
+          expr(s"CAST(nt - ((nt * ${math.round(thr * 100).toInt} + 99)" +
+            " div 100) + 1 AS INT)")))
           .as("token"))
     val ca = pref.select(col("lang"), col("source"), col("band"),
       col("token"), col("doc_id").as("ia"))

@@ -420,4 +420,26 @@ class OperatorSuite extends SparkSpec {
     assert(b.agg(sum("n_vecs")).head.getLong(0) == 500L)
     assert(b.where(col("sig") < 0 || col("sig") > 255).count() == 0L)
   }
+
+  test("dedup_near prefix bound is exact at the J = 0.9 boundary") {
+    // The adversarial boundary for the prefix filter: A = {u, r1..r9}
+    // (10 tokens, u unique and globally rarest), B = {r1..r9} ⊂ A.
+    // J = 9/10 = 0.9 exactly — the pair qualifies, and its survival
+    // depends on A's prefix being the full safe n − ⌈t·n⌉ + 1 = 2
+    // tokens {u, r1}: any off-by-one shortening (a future float
+    // formulation, a > vs >= slip) clips A's prefix to {u}, which B
+    // never collides with, and the qualifying pair silently vanishes.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pfx").toString
+    val a = ("uuu " + (1 to 9).map("r" + _).mkString(" "))
+    val b = (1 to 9).map("r" + _).mkString(" ")
+    Seq((0L, a, "en", "s", a.length.toLong),
+        (1L, b, "en", "s", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_near")(spark, dir).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(0) == 0L &&
+      pairs.head.getLong(1) == 1L,
+      s"boundary pair lost: ${pairs.mkString(",")}")
+  }
 }
