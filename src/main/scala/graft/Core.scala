@@ -35,14 +35,23 @@ object Tables {
     * re-reads the footer for schema inference on EVERY call, and a bench
     * pass builds 143 queries × ~1.5 tables — measurable pure overhead at
     * the 0.3 s per-query floor. DataFrames are immutable plans, so
-    * reusing one per (session, dir, table) is semantics-free; keyed
-    * weakly on the session so test-suite sessions don't pin entries. */
+    * reusing one per (session, dir, table) is semantics-free for
+    * immutable sources. Two deliberate limits, enforced/handled here:
+    *  - weak keying alone would NOT evict (each cached DataFrame strongly
+    *    references its session via QueryExecution, so the value pins the
+    *    key) — instead stopped sessions are purged explicitly on every
+    *    access, which bounds the memo at the live-session count;
+    *  - each cached plan pins its file-listing snapshot, so OVERWRITING
+    *    the same (dir, name) parquet within one live session would serve
+    *    the stale listing — unsupported here (all sources are
+    *    write-once; Scratch corpora change path when content changes). */
   private val memo =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       collection.mutable.Map[(String, String), DataFrame]]()
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     memo.synchronized {
+      memo.keySet.removeIf(s => s.sparkContext.isStopped)
       val m = {
         val existing = memo.get(spark)
         if (existing != null) existing
@@ -182,15 +191,29 @@ object Scratch {
       } finally in.close()
     }
     if (!fresh) {
+      // sweep staging dirs abandoned by JVMs killed mid-build (the staging
+      // path embeds the applicationId, so no later JVM would reuse them)
+      val parent = new org.apache.hadoop.fs.Path(base)
+      val stale = new org.apache.hadoop.fs.Path(
+        parent, s"graft_corpus_${tag}_staging_*")
+      fs.globStatus(stale) match {
+        case null => ()
+        case sts  => sts.foreach(st => fs.delete(st.getPath, true))
+      }
       val staging = new org.apache.hadoop.fs.Path(
         s"${p}_staging_${s.sparkContext.applicationId}")
-      fs.delete(staging, true)
       fs.mkdirs(staging)
       build(staging.toString)
       val out = fs.create(
         new org.apache.hadoop.fs.Path(staging, "_GRAFT_COMPLETE"), true)
       try out.write(fp.getBytes("UTF-8")) finally out.close()
-      fs.delete(hp, true)
+      // rename-aside: move the stale corpus to a tombstone first so the
+      // no-corpus window is two renames, not a recursive delete + rename;
+      // a concurrent reader sees either the old complete corpus or the new
+      // one (its sentinel is checked before use either way)
+      val tomb = new org.apache.hadoop.fs.Path(
+        s"${p}_staging_tomb_${s.sparkContext.applicationId}")
+      if (fs.exists(hp)) fs.rename(hp, tomb)
       if (!fs.rename(staging, hp)) {
         // lost a race to a concurrent builder — its corpus carries the same
         // fingerprint (same sources), so adopt it and drop the staging copy
@@ -198,6 +221,7 @@ object Scratch {
         require(fs.exists(sentinel), s"persistent corpus $p: rename failed " +
           "and no winner present")
       }
+      fs.delete(tomb, true)
     }
     p
   }

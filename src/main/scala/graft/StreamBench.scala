@@ -24,8 +24,14 @@ object StreamBench {
     // single-file events parquet into one (hard link: no copy cost)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_sb_src")
     val src = srcDir.toString
-    java.nio.file.Files.createLink(srcDir.resolve("events.parquet"),
+    try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    catch { // EXDEV: tmpdir and sfDir on different filesystems → copy
+      case _: java.nio.file.FileSystemException =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+          srcDir.resolve("events.parquet"))
+    }
     val n = spark.read.parquet(src).count()
 
     def run(name: String, mode: String,

@@ -227,6 +227,18 @@ class PlanSuite extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("dedup_ngram keeps the shingle prefix-filter formulation (no df cap)") {
+    // round-14 shape: rarest-shingle prefix (`slice`) feeds the candidate
+    // equi-join, `array_intersect` verifies exact Jaccard on candidates
+    // only. The pre-14 absolute df<=20 prune is gone — recall must not be
+    // a function of corpus size (hot-shingle pairs stay visible).
+    val plan = formatted(SparkEntry.queries("dedup_ngram")(spark, sf))
+    assert(plan.contains("slice"), plan.take(3000))
+    assert(plan.contains("array_intersect"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("sql_subquery is decorrelated into a join (no per-row subquery)") {
     val df = SparkEntry.queries("sql_subquery")(spark, sf)
     val plan = formatted(df)

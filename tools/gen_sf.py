@@ -164,7 +164,14 @@ def main():
     # blocked dedup families can see them:
     #   doc_id % 23 = 0 (and > 0)  exact copy of doc_id - 1  (dedup_exact)
     #   doc_id % 17 = 0 (and > 0,  near-dup: doc_id - 1 plus ONE appended
-    #     not % 23 = 0)            token -> set-Jaccard n/(n+1) >= 10/11
+    #     not % 23 = 0)            token — appended ONLY when the source
+    #                              doc has >= 10 DISTINCT tokens, so
+    #                              set-Jaccard = nd/(nd+1) >= 10/11 > 0.9
+    #                              always holds (tokens are drawn WITH
+    #                              replacement, so raw length >= 10 does
+    #                              not imply distinct >= 10; short
+    #                              low-distinct sources become exact
+    #                              copies instead — still a planted dup)
     #                              (dedup_near/lsh/ngram/edit/simhash)
     vocab_sql = "[" + ",".join(f"'{w}'" for w in VOCAB) + "]"
     con.execute(f"""
@@ -182,27 +189,27 @@ def main():
                  ELSE ['de','es','fr','zh'][CAST(
                    hash(i * 173 + 291) % 4 AS INTEGER) + 1] END AS lang,
             'src' || CAST(hash(i * 179 + 301) % 20 AS VARCHAR) AS source
-          FROM range({n_doc}) t(i))
-        SELECT b.doc_id,
-          CASE WHEN b.doc_id > 0 AND b.doc_id % 23 = 0 THEN p.text
-               WHEN b.doc_id > 0 AND b.doc_id % 17 = 0
-                 THEN p.text || ' w' ||
-                   CAST(hash(b.doc_id * 227 + 351) % 4000 AS VARCHAR)
-               ELSE b.text END AS text,
-          CASE WHEN b.doc_id > 0 AND
-                    (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
-               THEN p.lang ELSE b.lang END AS lang,
-          CASE WHEN b.doc_id > 0 AND
-                    (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
-               THEN p.source ELSE b.source END AS source,
-          CAST(length(CASE WHEN b.doc_id > 0 AND b.doc_id % 23 = 0
-                THEN p.text
-               WHEN b.doc_id > 0 AND b.doc_id % 17 = 0
-                 THEN p.text || ' w' ||
-                   CAST(hash(b.doc_id * 227 + 351) % 4000 AS VARCHAR)
-               ELSE b.text END) AS BIGINT) AS n_chars
-        FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1
-        ORDER BY b.doc_id)
+          FROM range({n_doc}) t(i)),
+        planted AS (
+          SELECT b.doc_id,
+            CASE WHEN b.doc_id > 0 AND b.doc_id % 23 = 0 THEN p.text
+                 WHEN b.doc_id > 0 AND b.doc_id % 17 = 0
+                   THEN CASE WHEN len(list_distinct(
+                                     string_split(p.text, ' '))) >= 10
+                        THEN p.text || ' w' ||
+                          CAST(hash(b.doc_id * 227 + 351) % 4000 AS VARCHAR)
+                        ELSE p.text END
+                 ELSE b.text END AS text,
+            CASE WHEN b.doc_id > 0 AND
+                      (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
+                 THEN p.lang ELSE b.lang END AS lang,
+            CASE WHEN b.doc_id > 0 AND
+                      (b.doc_id % 23 = 0 OR b.doc_id % 17 = 0)
+                 THEN p.source ELSE b.source END AS source
+          FROM base b LEFT JOIN base p ON p.doc_id = b.doc_id - 1)
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM planted ORDER BY doc_id)
       TO '{out}/documents.parquet' (FORMAT PARQUET)""")
 
     # Box–Muller normals, float32, ~N(0, 0.125) like the driver vectors.
