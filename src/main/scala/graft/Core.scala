@@ -349,7 +349,7 @@ object Par {
     s"(CASE WHEN max(CASE WHEN isnan($x) OR isinf($x) THEN 1 ELSE 0 END) " +
       s"OVER $win = 1 THEN sum($x) OVER $win ELSE " +
       oDec2Dbl(s"sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
-        s"THEN CAST(($x) AS DECIMAL(38,6)) END) OVER $win") + " END)"
+        s"THEN CAST(round(($x), 6) AS DECIMAL(38,6)) END) OVER $win") + " END)"
 
   /** Epoch µs of an NTZ timestamp (session TZ is UTC, so the LTZ cast is
     * value-preserving); matches DuckDB's epoch_us(). */
@@ -367,7 +367,7 @@ object Par {
     val nf = ONF.format(x, x)
     s"(CASE WHEN $nf THEN sum($x) ELSE " +
       oDec2Dbl(s"sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
-        s"THEN CAST(($x) AS DECIMAL(38,6)) END)") + " END)"
+        s"THEN CAST(round(($x), 6) AS DECIMAL(38,6)) END)") + " END)"
   }
 
   /** Oracle fragment matching [[davg]]. */
@@ -375,7 +375,7 @@ object Par {
     val nf = ONF.format(x, x)
     s"(CASE WHEN $nf THEN sum($x) / count($x) ELSE " +
       oDec2Dbl(s"sum(CASE WHEN NOT (isnan($x) OR isinf($x)) " +
-        s"THEN CAST(($x) AS DECIMAL(38,6)) END)") + s" / count($x) END)"
+        s"THEN CAST(round(($x), 6) AS DECIMAL(38,6)) END)") + s" / count($x) END)"
   }
 
   /** Sample stddev of a 2-dp money column via exact SCALE-0 decimal moments
@@ -404,7 +404,7 @@ object Par {
 
   def oStd(x: String): String = {
     val fin = s"(CASE WHEN NOT (isnan($x) OR isinf($x)) THEN ($x) END)"
-    val dc = s"(CAST($fin*100 AS DECIMAL(19,0)) - $StdOffsetCents)"
+    val dc = s"(CAST(round($fin*100, 0) AS DECIMAL(19,0)) - $StdOffsetCents)"
     val n = s"CAST(count($x) AS DOUBLE)"
     val s = oDec2Dbl(s"sum($dc)")
     val ss = oDec2Dbl(s"sum($dc * $dc)")

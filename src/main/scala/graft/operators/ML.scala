@@ -120,9 +120,16 @@ object ML {
                    row_number() OVER (PARTITION BY p.vec_id
                      ORDER BY ${oDist2("p.e", "c.ce")} ASC, c.cid ASC) AS rn
             FROM $pts p, $cents c) WHERE rn = 1"""
+    // round(x, 10) BEFORE the decimal cast: DuckDB's double→decimal cast
+    // rounds ties half-EVEN while Spark's rounds HALF_UP, and float32
+    // inputs DO land exactly on the scale-10 tie (first seen at sf10:
+    // 0.13525390625 = k/2^33 terminates with digit '5' at position 11 —
+    // one point skewed a cluster-mean sum by 1e-10, a ~370-ulp mean
+    // drift). round() is exact-decimal half-away-from-zero = java
+    // HALF_UP for every double (fuzz-verified incl. the tie family).
     def oMean(i: Int): String =
-      s"CAST(CAST(sum(CAST(e[$i] AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)" +
-      s" / count(*)"
+      s"CAST(CAST(sum(CAST(round(e[$i], 10) AS DECIMAL(38,10)))" +
+      s" AS VARCHAR) AS DOUBLE) / count(*)"
     def oRecompute(a: String): String =
       s"""SELECT cid, [${(1 to 4).map(oMean).mkString(", ")}] AS ce
           FROM $a GROUP BY cid"""
@@ -173,8 +180,8 @@ object ML {
                          AS rn
                 FROM embeddings, cents)
               SELECT cid, count(*) AS n,
-                     CAST(CAST(sum(CAST(CAST(embedding[1] AS DOUBLE)
-                       AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
+                     CAST(CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE),
+                       10) AS DECIMAL(38,10))) AS VARCHAR) AS DOUBLE)
                        / count(*) AS mean_d1
               FROM assigned WHERE rn = 1
               GROUP BY cid ORDER BY cid""")),

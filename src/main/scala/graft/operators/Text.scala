@@ -113,7 +113,13 @@ object Text {
                  len(list_distinct(string_split(text, ' '))) AS nt,
                  unnest(list_distinct(string_split(text, ' '))) AS token
           FROM documents),
-        pairs AS (
+        pairs AS MATERIALIZED (
+          -- MATERIALIZED: DuckDB 1.0 inlines a plain CTE per REFERENCE, and
+          -- dedup_cluster/graph_triangles/graph_pagerank reference this (or
+          -- a projection of it) 2-5 times — at sf10 the re-executed
+          -- Σ C(df,2) join+aggregate exhausted 60 GB of spill disk. The
+          -- thresholded output is tiny; materializing it pins ONE evaluation
+          -- without touching the declared semantics.
           SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
           FROM (SELECT a.doc_id AS ia, b.doc_id AS ib, a.nt AS na,
                        b.nt AS nb, count(*) AS common
@@ -612,7 +618,9 @@ object Text {
                            END),
                          y -> y IS NOT NULL)) AS ss
                 FROM tk),
-              e AS (
+              e AS MATERIALIZED (
+                -- referenced twice by the self-join; a plain CTE would
+                -- re-run the tokenize+shingle explode per reference
                 SELECT doc_id, lang, len(ss) AS nsh, unnest(ss) AS sh
                 FROM sh)
               SELECT ia, ib, CAST(common AS DOUBLE)/(na+nb-common) AS jac
