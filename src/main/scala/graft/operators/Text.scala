@@ -646,6 +646,11 @@ object Text {
     // 33 — a pair slips BOTH blocks only when its edits straddle both the
     // head and tail of the 40-char window. Pair count stays near-linear
     // (two blocked joins instead of one; dedup of the union by DISTINCT).
+    // blk2 is NULL for docs shorter than 40 chars (null equi-join keys
+    // never match — identical drop semantics on both engines): a shared
+    // truncated/empty suffix is not evidence of similarity, and pooling
+    // every short doc of a band into one "" block would be the quadratic
+    // blowup blocking exists to prevent. Short docs rely on pass 1.
     // Both engines run the same two blocks, so parity is exact.
     "dedup_edit" -> Q(
       (s, d) => {
@@ -653,7 +658,8 @@ object Text {
           col("doc_id"), expr("n_chars div 100").as("band"),
           substring(lower(col("text")), 1, 40).as("pfx"))
           .withColumn("blk1", substring(col("pfx"), 1, 8))
-          .withColumn("blk2", substring(col("pfx"), 33, 8))
+          .withColumn("blk2", when(length(col("pfx")) === 40,
+            substring(col("pfx"), 33, 8)))
           .iterCheckpoint()
         def pass(blk: String) = {
           val a = e.select(col("band"), col(blk).as("blk"),
@@ -676,7 +682,8 @@ object Text {
                 SELECT doc_id, n_chars // 100 AS band,
                        substring(lower(text), 1, 40) AS pfx,
                        substring(lower(text), 1, 8) AS blk1,
-                       substring(lower(text), 33, 8) AS blk2
+                       CASE WHEN length(substring(lower(text), 1, 40)) = 40
+                            THEN substring(lower(text), 33, 8) END AS blk2
                 FROM documents WHERE lang = 'en'),
               cand AS (
                 SELECT a.doc_id AS ia, b.doc_id AS ib
