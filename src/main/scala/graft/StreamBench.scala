@@ -44,9 +44,26 @@ object StreamBench {
         .outputMode(mode).start()
       q.processAllAvailable(); q.stop()
       val s = (System.nanoTime() - t0) / 1e9
+      // state footprint: keyed-state row count from the progress feed plus
+      // the on-disk checkpoint state bytes (for the RocksDB run this is the
+      // SST+changelog footprint a 100 TB deployment would provision for)
+      val stateRows = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).maxOption.getOrElse(0L)
+      val stateBytes = {
+        val root = java.nio.file.Paths.get(ck, "state")
+        if (java.nio.file.Files.exists(root)) {
+          val st = java.nio.file.Files.walk(root)
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum()
+          finally st.close()
+        } else 0L
+      }
       // Predef.printf — functions._ shadows it with the SQL printf Column
-      System.out.printf("%-16s %6.1f s  %9.0f events/s%n",
-        name, Double.box(s), Double.box(n / s))
+      System.out.printf(
+        "%-16s %6.1f s  %9.0f events/s  %9d state rows  %8.1f MiB state%n",
+        name, Double.box(s), Double.box(n / s), Long.box(stateRows),
+        Double.box(stateBytes / 1048576.0))
     }
 
     run("window_agg", "update", d => graft.streaming.Streams.tumbling(

@@ -646,6 +646,15 @@ object Text {
     // 33 — a pair slips BOTH blocks only when its edits straddle both the
     // head and tail of the 40-char window. Pair count stays near-linear
     // (two blocked joins instead of one; dedup of the union by DISTINCT).
+    // The band key matches ADJACENT bands too (probe side explodes into
+    // {band−1, band, band+1}): a near-dup whose small length delta
+    // straddles a //100 boundary lands in the neighbor band, and the sf1
+    // recall measurement showed that was the ONLY loss mode on planted
+    // dups — 13 of 482 sampled truth pairs, every one band-gap 1 (recall
+    // 0.973 → 1.0). Cost is a bounded 3× on candidate volume, not a new
+    // asymptotic term. Pairs with band gap ≥ 2 (≳100-char length delta at
+    // a ≤5-edit prefix) stay out of scope by design: the blocking key is
+    // part of the declared semantics, mirrored in the oracle.
     // blk2 is NULL for docs shorter than 40 chars (null equi-join keys
     // never match — identical drop semantics on both engines): a shared
     // truncated/empty suffix is not evidence of similarity, and pooling
@@ -662,11 +671,12 @@ object Text {
             substring(col("pfx"), 33, 8)))
           .iterCheckpoint()
         def pass(blk: String) = {
-          val a = e.select(col("band"), col(blk).as("blk"),
+          val a = e.select(explode(array(col("band") - 1, col("band"),
+            col("band") + 1)).as("bandx"), col(blk).as("blk"),
             col("doc_id").as("ia"))
           val b = e.select(col("band").as("band_b"), col(blk).as("blk_b"),
             col("doc_id").as("ib"))
-          a.join(b, col("band") === col("band_b") &&
+          a.join(b, col("bandx") === col("band_b") &&
               col("blk") === col("blk_b") && col("ia") < col("ib"))
             .select("ia", "ib")
         }
@@ -687,11 +697,13 @@ object Text {
                 FROM documents WHERE lang = 'en'),
               cand AS (
                 SELECT a.doc_id AS ia, b.doc_id AS ib
-                FROM e a JOIN e b ON a.band = b.band AND a.blk1 = b.blk1
+                FROM e a JOIN e b ON b.band - a.band BETWEEN -1 AND 1
+                                 AND a.blk1 = b.blk1
                                  AND a.doc_id < b.doc_id
                 UNION
                 SELECT a.doc_id AS ia, b.doc_id AS ib
-                FROM e a JOIN e b ON a.band = b.band AND a.blk2 = b.blk2
+                FROM e a JOIN e b ON b.band - a.band BETWEEN -1 AND 1
+                                 AND a.blk2 = b.blk2
                                  AND a.doc_id < b.doc_id)
               SELECT c.ia, c.ib,
                      CAST(levenshtein(ea.pfx, eb.pfx) AS BIGINT) AS dist
