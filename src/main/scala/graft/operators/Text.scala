@@ -578,15 +578,34 @@ object Text {
           .groupBy("doc_id", "lang", "nsh")
           .agg(array_sort(collect_list(struct(col("df"), col("sh"))))
             .as("ord"))
-          .select(col("doc_id"), col("lang"),
-            explode(slice(expr("transform(ord, x -> x.sh)"), lit(1),
+          .select(col("doc_id"), col("lang"), col("nsh"),
+            posexplode(slice(expr("transform(ord, x -> x.sh)"), lit(1),
               expr("CAST(nsh - ((nsh * 40 + 99) div 100) + 1 AS INT)")))
-              .as("sh"))
-        val cand = pref.select(col("lang"), col("sh"), col("doc_id").as("ia"))
-          .join(pref.select(col("lang").as("lang_b"),
-              col("sh").as("sh_b"), col("doc_id").as("ib")),
+              .as(Seq("pos", "sh")))
+        // POSITIONAL filter (PPJoin proper — Xiao et al. WWW'08): both
+        // sets are sorted in the SAME global (df, sh) order, so common
+        // shingles align monotonically and a match at (0-based) prefix
+        // positions (pa, pb) bounds the total overlap by
+        // min(nsh_a − pa, nsh_b − pb). J ≥ 0.4 needs overlap
+        // c ≥ 0.4(na+nb)/1.4 = 2(na+nb)/7, so candidates with
+        // 7·min(na−pa, nb−pb) < 2·(na+nb) can't qualify. EXACT — for a
+        // true pair the bound holds at its FIRST common shingle (all c
+        // common shingles sit at-or-after it on both sides), and that
+        // generator is in both prefixes, so the pair always survives the
+        // DISTINCT even if later generators are pruned. Measured at
+        // sf0.1: the verify join was 4.1 s of the key's 6.6 s because
+        // 134k candidates shuffled full ~5 KB shingle arrays to yield 79
+        // pairs — this prunes at candidate time, before arrays move.
+        val cand = pref.select(col("lang"), col("sh"),
+            col("doc_id").as("ia"), col("nsh").as("na"),
+            col("pos").as("pa"))
+          .join(pref.select(col("lang").as("lang_b"), col("sh").as("sh_b"),
+              col("doc_id").as("ib"), col("nsh").as("nb"),
+              col("pos").as("pb")),
             col("lang") === col("lang_b") && col("sh") === col("sh_b") &&
-            col("ia") < col("ib"))
+            col("ia") < col("ib") &&
+            least(col("na") - col("pa"), col("nb") - col("pb")) * 7 >=
+              (col("na") + col("nb")) * 2)
           .select("ia", "ib").distinct()
         // exact verification on candidates only (full shingle sets)
         cand
