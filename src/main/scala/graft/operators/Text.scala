@@ -682,6 +682,23 @@ object Text {
     // Both engines run the same two blocks, so parity is exact.
     "dedup_edit" -> Q(
       (s, d) => {
+        // Plan shape (sf30-profiled): the blocked pair ENUMERATION is
+        // cheap (112.9M pairs in 1.2 s at sf30 — hash join), but the old
+        // DISTINCT-then-rejoin shape shuffled all 112M (ia, ib) pairs to
+        // dedupe them (25.6 s) and then joined the prefixes back onto
+        // 112M rows to run Levenshtein (72.6 s). Both giant shuffles are
+        // unnecessary: the 40-char prefixes ride THROUGH the pass join
+        // (40 B each), the DP runs inside the join's projection — no
+        // intermediate materialization — and only the ~0.05% of pairs
+        // that actually pass dist <= 5 reach the union+DISTINCT, which
+        // dedupes pairs found by both blocking passes on a result-sized
+        // set. Identical output set (dist is functionally dependent on
+        // the pair, so DISTINCT over (ia, ib, dist) == DISTINCT over
+        // (ia, ib)); the oracle keeps the direct two-block formulation.
+        // sf30: 257 s -> see BASELINE row. The enumeration itself stays
+        // quadratic in a hot block's size — that is the declared
+        // blocking's own worst case (template-heavy corpora); at 100 TB
+        // the mitigation is a finer blocking key, a semantics change.
         val e = D(s, d).where(col("lang") === "en").select(
           col("doc_id"), expr("n_chars div 100").as("band"),
           substring(lower(col("text")), 1, 40).as("pfx"))
@@ -692,19 +709,16 @@ object Text {
         def pass(blk: String) = {
           val a = e.select(explode(array(col("band") - 1, col("band"),
             col("band") + 1)).as("bandx"), col(blk).as("blk"),
-            col("doc_id").as("ia"))
+            col("doc_id").as("ia"), col("pfx").as("pa"))
           val b = e.select(col("band").as("band_b"), col(blk).as("blk_b"),
-            col("doc_id").as("ib"))
+            col("doc_id").as("ib"), col("pfx").as("pb"))
           a.join(b, col("bandx") === col("band_b") &&
               col("blk") === col("blk_b") && col("ia") < col("ib"))
-            .select("ia", "ib")
+            .select(col("ia"), col("ib"),
+              levenshtein(col("pa"), col("pb")).cast("bigint").as("dist"))
+            .where(col("dist") <= 5)
         }
         pass("blk1").union(pass("blk2")).distinct()
-          .join(e.select(col("doc_id").as("ia"), col("pfx").as("pa")), "ia")
-          .join(e.select(col("doc_id").as("ib"), col("pfx").as("pb")), "ib")
-          .select(col("ia"), col("ib"),
-            levenshtein(col("pa"), col("pb")).cast("bigint").as("dist"))
-          .where(col("dist") <= 5)
           .orderBy("ia", "ib")
       },
       Some("""WITH e AS (
