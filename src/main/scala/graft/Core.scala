@@ -183,25 +183,41 @@ object Scratch {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(hconf)
     val sentinel = new org.apache.hadoop.fs.Path(p, "_GRAFT_COMPLETE")
-    val fresh = fs.exists(sentinel) && {
-      val in = fs.open(sentinel)
-      try {
-        val b = new Array[Byte](fs.getFileStatus(sentinel).getLen.toInt)
-        in.readFully(b); new String(b, "UTF-8") == fp
-      } finally in.close()
-    }
-    if (!fresh) {
-      // sweep staging dirs abandoned by JVMs killed mid-build (the staging
-      // path embeds the applicationId, so no later JVM would reuse them)
+    // sentinel content must EQUAL the expected fingerprint — mere existence
+    // is not enough anywhere below (a stale sentinel with an old fingerprint
+    // must trigger a rebuild, and must never be adopted as a race winner)
+    def sentinelIs(expect: String): Boolean =
+      fs.exists(sentinel) && {
+        val in = fs.open(sentinel)
+        try {
+          val b = new Array[Byte](fs.getFileStatus(sentinel).getLen.toInt)
+          in.readFully(b); new String(b, "UTF-8") == expect
+        } finally in.close()
+      }
+    if (!sentinelIs(fp)) {
+      // sweep staging/tombstone dirs abandoned by JVMs killed mid-build.
+      // Age-gated: the glob also matches a CONCURRENT builder's live
+      // staging dir (this function explicitly supports racing builders
+      // below) and the rename-aside tombstones; deleting a live staging
+      // dir mid-build could let its writer stamp a sentinel over a
+      // partially rebuilt corpus. A builder finishes in well under the
+      // gate, so anything older is abandoned; our own dirs are excluded
+      // regardless of age (a same-JVM rebuild re-stages at the same path).
+      val appId = s.sparkContext.applicationId
       val parent = new org.apache.hadoop.fs.Path(base)
       val stale = new org.apache.hadoop.fs.Path(
         parent, s"graft_corpus_${tag}_staging_*")
+      val cutoff = System.currentTimeMillis() - SweepAgeMs
       fs.globStatus(stale) match {
         case null => ()
-        case sts  => sts.foreach(st => fs.delete(st.getPath, true))
+        case sts  => sts.foreach { st =>
+          if (!st.getPath.getName.endsWith(appId) &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, true)
+        }
       }
       val staging = new org.apache.hadoop.fs.Path(
-        s"${p}_staging_${s.sparkContext.applicationId}")
+        s"${p}_staging_$appId")
       fs.mkdirs(staging)
       build(staging.toString)
       val out = fs.create(
@@ -212,19 +228,32 @@ object Scratch {
       // a concurrent reader sees either the old complete corpus or the new
       // one (its sentinel is checked before use either way)
       val tomb = new org.apache.hadoop.fs.Path(
-        s"${p}_staging_tomb_${s.sparkContext.applicationId}")
-      if (fs.exists(hp)) fs.rename(hp, tomb)
+        s"${p}_staging_tomb_$appId")
+      // a second same-JVM rebuild reuses the tombstone path — clear it or
+      // the aside rename below fails and the stale corpus blocks adoption
+      if (fs.exists(tomb)) fs.delete(tomb, true)
+      if (fs.exists(hp) && !fs.rename(hp, tomb)) {
+        // aside failed (FS quirk) — fall back to recursive delete of the
+        // stale corpus; leaving it in place would fail the staging rename
+        // and then pass its STALE sentinel off as a race winner
+        fs.delete(hp, true)
+      }
       if (!fs.rename(staging, hp)) {
-        // lost a race to a concurrent builder — its corpus carries the same
-        // fingerprint (same sources), so adopt it and drop the staging copy
+        // lost a race to a concurrent builder — adopt only a winner whose
+        // sentinel carries the SAME fingerprint (same sources); re-read it,
+        // existence alone could be the stale corpus
         fs.delete(staging, true)
-        require(fs.exists(sentinel), s"persistent corpus $p: rename failed " +
-          "and no winner present")
+        require(sentinelIs(fp), s"persistent corpus $p: rename failed " +
+          "and no same-fingerprint winner present")
       }
       fs.delete(tomb, true)
     }
     p
   }
+
+  /** Staging/tombstone dirs older than this are abandoned (their JVM was
+    * killed) and safe to sweep; live builds finish far faster. */
+  private val SweepAgeMs = 30L * 60 * 1000
 }
 
 /** Oracle-parity aggregation helpers.

@@ -26,8 +26,11 @@ object StreamBench {
     val src = srcDir.toString
     try java.nio.file.Files.createLink(srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    catch { // EXDEV: tmpdir and sfDir on different filesystems → copy
-      case _: java.nio.file.FileSystemException =>
+    catch {
+      // EXDEV (different filesystems) or an FS with no hard-link support
+      // (UnsupportedOperationException) → plain copy
+      case _: java.nio.file.FileSystemException |
+           _: UnsupportedOperationException =>
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$sfDir/events.parquet"),
           srcDir.resolve("events.parquet"))

@@ -57,6 +57,57 @@ class ScratchPersistSuite extends SparkSpec {
     assert(Files.readString(Paths.get(p2, "corpus.bin")) == "gen2")
   }
 
+  test("a leftover tombstone from a prior rebuild does not block the next") {
+    var gen = 0
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    def run(): String = Scratch.persistent(spark, tag,
+      Seq(s"${src.getPath}/src.parquet")) { staging =>
+      gen += 1
+      Files.writeString(Paths.get(staging, "corpus.bin"), s"gen$gen")
+    }
+    val p1 = run()
+    // simulate a tombstone abandoned by a crash between the two renames of
+    // an earlier rebuild IN THIS JVM (same applicationId → same tomb path);
+    // before the fix the aside rename silently failed on it and the stale
+    // corpus was then adopted on mere sentinel EXISTENCE
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    val tomb = Paths.get(
+      s"$base/graft_corpus_${tag}_staging_tomb_${spark.sparkContext.applicationId}")
+    Files.createDirectories(tomb)
+    Files.writeString(tomb.resolve("junk.bin"), "abandoned")
+    val f = Paths.get(src.getPath, "src.parquet")
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(f).toMillis + 5000))
+    val p2 = run()
+    assert(gen == 2 && Files.readString(Paths.get(p2, "corpus.bin")) == "gen2",
+      "rebuild must serve the NEW corpus, not adopt the stale one")
+    assert(!Files.exists(tomb), "tombstone cleaned up after the rebuild")
+  }
+
+  test("the abandoned-staging sweep is age-gated (live peers survive)") {
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    // a CONCURRENT builder's live staging dir: fresh mtime, foreign appId
+    val peer = Paths.get(s"$base/graft_corpus_${tag}_staging_peerapp123")
+    Files.createDirectories(peer)
+    Files.writeString(peer.resolve("inflight.bin"), "peer mid-build")
+    // an ABANDONED staging dir: foreign appId, mtime past the gate
+    val dead = Paths.get(s"$base/graft_corpus_${tag}_staging_deadapp456")
+    Files.createDirectories(dead)
+    Files.setLastModifiedTime(dead, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Scratch.persistent(spark, tag, Seq(s"${src.getPath}/src.parquet")) {
+      staging => Files.writeString(Paths.get(staging, "corpus.bin"), "ok")
+    }
+    assert(Files.exists(peer),
+      "a fresh foreign staging dir (live concurrent builder) must survive")
+    assert(!Files.exists(dead), "an old abandoned staging dir is swept")
+    // cleanup the surviving fake
+    Files.delete(peer.resolve("inflight.bin")); Files.delete(peer)
+  }
+
   test("a failed build leaves no sentinel (no half corpus served later)") {
     val src = tmpSrc()
     val tag = s"spstest_${System.nanoTime()}"
