@@ -187,12 +187,19 @@ object Scratch {
     // is not enough anywhere below (a stale sentinel with an old fingerprint
     // must trigger a rebuild, and must never be adopted as a race winner)
     def sentinelIs(expect: String): Boolean =
-      fs.exists(sentinel) && {
-        val in = fs.open(sentinel)
-        try {
-          val b = new Array[Byte](fs.getFileStatus(sentinel).getLen.toInt)
-          in.readFully(b); new String(b, "UTF-8") == expect
-        } finally in.close()
+      try {
+        fs.exists(sentinel) && {
+          val in = fs.open(sentinel)
+          try {
+            val b = new Array[Byte](fs.getFileStatus(sentinel).getLen.toInt)
+            in.readFully(b); new String(b, "UTF-8") == expect
+          } finally in.close()
+        }
+      } catch {
+        // TOCTOU: a concurrent rebuild can delete the sentinel between the
+        // exists probe and the open/stat — that is simply "not complete
+        // right now", not an error to propagate out of persistent()
+        case _: java.io.FileNotFoundException => false
       }
     if (!sentinelIs(fp)) {
       // sweep staging/tombstone dirs abandoned by JVMs killed mid-build.
@@ -204,49 +211,80 @@ object Scratch {
       // gate, so anything older is abandoned; our own dirs are excluded
       // regardless of age (a same-JVM rebuild re-stages at the same path).
       val appId = s.sparkContext.applicationId
-      val parent = new org.apache.hadoop.fs.Path(base)
-      val stale = new org.apache.hadoop.fs.Path(
-        parent, s"graft_corpus_${tag}_staging_*")
-      val cutoff = System.currentTimeMillis() - SweepAgeMs
-      fs.globStatus(stale) match {
-        case null => ()
-        case sts  => sts.foreach { st =>
-          if (!st.getPath.getName.endsWith(appId) &&
-              st.getModificationTime < cutoff)
-            fs.delete(st.getPath, true)
+      // exact self-names, not endsWith(appId): a suffix match would also
+      // spare a FOREIGN dir whose appId merely ends with ours (suffix
+      // collision) — left unswept forever — and conflate staging with tomb
+      val selfNames = Set(
+        s"graft_corpus_${tag}_staging_$appId",
+        s"graft_corpus_${tag}_staging_tomb_$appId")
+      def attempt(retries: Int): Unit = {
+        val parent = new org.apache.hadoop.fs.Path(base)
+        val stale = new org.apache.hadoop.fs.Path(
+          parent, s"graft_corpus_${tag}_staging_*")
+        val cutoff = System.currentTimeMillis() - SweepAgeMs
+        fs.globStatus(stale) match {
+          case null => ()
+          case sts  => sts.foreach { st =>
+            if (!selfNames(st.getPath.getName) &&
+                st.getModificationTime < cutoff)
+              fs.delete(st.getPath, true)
+          }
         }
+        val staging = new org.apache.hadoop.fs.Path(
+          s"${p}_staging_$appId")
+        fs.mkdirs(staging)
+        // liveness marker: the age-gated sweep keys off the staging dir's
+        // OWN mtime, which does not advance while build() writes into
+        // nested subdirectories — a build longer than SweepAgeMs could have
+        // its live staging swept by a racing JVM, after which the sentinel
+        // create below would silently recreate the dir and install a
+        // sentinel-only "corpus" carrying the correct fingerprint. The
+        // marker surviving the build proves the dir was never swept; the
+        // delete itself refreshes the dir mtime, re-arming the age gate for
+        // the sentinel write and renames that follow.
+        val marker = new org.apache.hadoop.fs.Path(staging, "_GRAFT_BUILDING")
+        fs.create(marker, true).close()
+        build(staging.toString)
+        val survived = try fs.delete(marker, false) catch {
+          case _: java.io.FileNotFoundException => false
+        }
+        if (!survived) {
+          fs.delete(staging, true)
+          if (sentinelIs(fp)) return // a racer installed the same corpus
+          require(retries > 0, s"persistent corpus $p: staging swept " +
+            "mid-build twice — build duration exceeds the sweep age gate")
+          attempt(retries - 1)
+          return
+        }
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(staging, "_GRAFT_COMPLETE"), true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        // rename-aside: move the stale corpus to a tombstone first so the
+        // no-corpus window is two renames, not a recursive delete + rename;
+        // a concurrent reader sees either the old complete corpus or the
+        // new one (its sentinel is checked before use either way)
+        val tomb = new org.apache.hadoop.fs.Path(
+          s"${p}_staging_tomb_$appId")
+        // a second same-JVM rebuild reuses the tombstone path — clear it or
+        // the aside rename below fails and the stale corpus blocks adoption
+        if (fs.exists(tomb)) fs.delete(tomb, true)
+        if (fs.exists(hp) && !fs.rename(hp, tomb)) {
+          // aside failed (FS quirk) — fall back to recursive delete of the
+          // stale corpus; leaving it in place would fail the staging rename
+          // and then pass its STALE sentinel off as a race winner
+          fs.delete(hp, true)
+        }
+        if (!fs.rename(staging, hp)) {
+          // lost a race to a concurrent builder — adopt only a winner whose
+          // sentinel carries the SAME fingerprint (same sources); re-read
+          // it, existence alone could be the stale corpus
+          fs.delete(staging, true)
+          require(sentinelIs(fp), s"persistent corpus $p: rename failed " +
+            "and no same-fingerprint winner present")
+        }
+        fs.delete(tomb, true)
       }
-      val staging = new org.apache.hadoop.fs.Path(
-        s"${p}_staging_$appId")
-      fs.mkdirs(staging)
-      build(staging.toString)
-      val out = fs.create(
-        new org.apache.hadoop.fs.Path(staging, "_GRAFT_COMPLETE"), true)
-      try out.write(fp.getBytes("UTF-8")) finally out.close()
-      // rename-aside: move the stale corpus to a tombstone first so the
-      // no-corpus window is two renames, not a recursive delete + rename;
-      // a concurrent reader sees either the old complete corpus or the new
-      // one (its sentinel is checked before use either way)
-      val tomb = new org.apache.hadoop.fs.Path(
-        s"${p}_staging_tomb_$appId")
-      // a second same-JVM rebuild reuses the tombstone path — clear it or
-      // the aside rename below fails and the stale corpus blocks adoption
-      if (fs.exists(tomb)) fs.delete(tomb, true)
-      if (fs.exists(hp) && !fs.rename(hp, tomb)) {
-        // aside failed (FS quirk) — fall back to recursive delete of the
-        // stale corpus; leaving it in place would fail the staging rename
-        // and then pass its STALE sentinel off as a race winner
-        fs.delete(hp, true)
-      }
-      if (!fs.rename(staging, hp)) {
-        // lost a race to a concurrent builder — adopt only a winner whose
-        // sentinel carries the SAME fingerprint (same sources); re-read it,
-        // existence alone could be the stale corpus
-        fs.delete(staging, true)
-        require(sentinelIs(fp), s"persistent corpus $p: rename failed " +
-          "and no same-fingerprint winner present")
-      }
-      fs.delete(tomb, true)
+      attempt(1)
     }
     p
   }

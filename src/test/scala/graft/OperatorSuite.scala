@@ -353,6 +353,45 @@ class OperatorSuite extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("dedup_edit straddle fixture: the documented two-block gap is real " +
+      "and bounded to head∧tail edits") {
+    // The one bounded recall gap in the dedup family (declared semantics,
+    // mirrored in the oracle): a pair whose ≤5 edits hit BOTH chars 1-8
+    // (pass-1 block) and chars 33-40 (pass-2 block) of the 40-char prefix
+    // shares neither block and is not enumerated. Docs 1/2 below differ by
+    // exactly two substitutions — one in each probe window — and MUST be
+    // missed; docs 1/3 edit only the head, docs 1/4 only the tail, and
+    // MUST be found (each has one clean probe window). EditProbe's
+    // brute-force recall mode measured 0 such misses on real data at
+    // sf0.01/sf0.1/sf1 (planted near-dups append a token — edits never
+    // straddle), which is why a third (middle-8) block is NOT added: it
+    // would buy +50% candidate volume for a fixture-only failure mode.
+    // If a future corpus trips this, add the middle block to BOTH engines.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_straddle").toString
+    // 40-char prefix laid out so char 1 is inside blk1 (chars 1-8) and
+    // char 34 inside blk2 (chars 33-40): "alpha on"(1-8) …(9-32) " over th"
+    val base = "alpha on quick brown foxes jumps over the dog and more text"
+    def edit(s: String, at: Int, c: Char) = s.updated(at - 1, c)
+    Seq(
+      (1L, base, "en", "web"),
+      (2L, edit(edit(base, 1, 'x'), 34, '0'), "en", "web"), // head AND tail
+      (3L, edit(base, 1, 'x'), "en", "web"),                // head only
+      (4L, edit(base, 34, '0'), "en", "web"))               // tail only
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("dedup_edit")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    // straddle pairs (edits in BOTH probe windows) are missed — declared;
+    // if these start passing, the blocking changed and the oracle must too
+    assert(!got.contains((1L, 2L)) && !got.contains((3L, 4L)),
+      s"straddle pairs must be missed by the two-block semantics, got $got")
+    // one clean probe window ⇒ found
+    assert(Set((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).subsetOf(got),
+      s"single-window edits must be recovered, got $got")
+  }
+
   test("text_minhash signatures are within the modulus") {
     val mh = SparkEntry.queries("text_minhash")(spark, sf)
     assert(mh.count() == 500L)

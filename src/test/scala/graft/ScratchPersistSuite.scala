@@ -108,6 +108,52 @@ class ScratchPersistSuite extends SparkSpec {
     Files.delete(peer.resolve("inflight.bin")); Files.delete(peer)
   }
 
+  test("sweep self-exclusion matches exact names, not an appId suffix") {
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    // a FOREIGN abandoned staging dir whose appId merely ENDS WITH ours —
+    // before the fix, endsWith(appId) spared it forever
+    val collide = Paths.get(s"$base/graft_corpus_${tag}_staging_" +
+      s"zz${spark.sparkContext.applicationId}")
+    Files.createDirectories(collide)
+    Files.setLastModifiedTime(collide, java.nio.file.attribute.FileTime
+      .fromMillis(System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+    Scratch.persistent(spark, tag, Seq(s"${src.getPath}/src.parquet")) {
+      staging => Files.writeString(Paths.get(staging, "corpus.bin"), "ok")
+    }
+    assert(!Files.exists(collide),
+      "an old foreign staging dir with a colliding appId SUFFIX is swept")
+  }
+
+  test("a staging dir swept mid-build is detected and the build retried") {
+    var builds = 0
+    val src = tmpSrc()
+    val tag = s"spstest_${System.nanoTime()}"
+    val p = Scratch.persistent(spark, tag,
+      Seq(s"${src.getPath}/src.parquet")) { staging =>
+      builds += 1
+      if (builds == 1) {
+        // simulate a racing JVM's age-gated sweep deleting our LIVE staging
+        // dir mid-build (dir mtime does not advance during nested writes) —
+        // before the fix the sentinel create recreated the dir and a
+        // sentinel-only corpus with the CORRECT fingerprint was installed
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(staging))
+      } else {
+        Files.writeString(Paths.get(staging, "corpus.bin"), "ok")
+      }
+    }
+    assert(builds == 2, "swept staging must trigger exactly one retry")
+    assert(Files.readString(Paths.get(p, "corpus.bin")) == "ok",
+      "the retried build's corpus is the one installed")
+    assert(Files.exists(Paths.get(p, "_GRAFT_COMPLETE")))
+    assert(!Files.exists(Paths.get(p, "_GRAFT_BUILDING")),
+      "the liveness marker must not leak into the installed corpus")
+  }
+
   test("a failed build leaves no sentinel (no half corpus served later)") {
     val src = tmpSrc()
     val tag = s"spstest_${System.nanoTime()}"
