@@ -62,6 +62,22 @@ def col_equal(a: pa.ChunkedArray, b: pa.ChunkedArray):
     return int(bad[0]) if bad.size else None
 
 
+def prep(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Combine chunks for col_equal — with the 64-bit-offset upcast a
+    >2 GiB string/binary column needs first (sf30's agg_unpivot emits
+    540M metric-name strings; int32 offsets overflow on concatenation).
+    Nested columns are left chunked: col_equal's nested branch iterates
+    via to_pylist and never concatenates."""
+    t = col.type
+    if pa.types.is_string(t):
+        col = col.cast(pa.large_string())
+    elif pa.types.is_binary(t):
+        col = col.cast(pa.large_binary())
+    elif pa.types.is_nested(t):
+        return col
+    return col.combine_chunks()
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -101,8 +117,7 @@ def main():
             continue
         bad = None
         for c in s.column_names:
-            i = col_equal(s.column(c).combine_chunks(),
-                          d.column(c).combine_chunks())
+            i = col_equal(prep(s.column(c)), prep(d.column(c)))
             if i is not None:
                 bad = (c, i, s.column(c)[i].as_py(), d.column(c)[i].as_py())
                 break
