@@ -13,6 +13,7 @@ Usage: python3 tools/check_fast.py <sfDir> <verifyOutDir> [query ...]
 """
 import glob
 import json
+import os
 import sys
 
 import duckdb
@@ -84,6 +85,13 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # Optional caps so compares can overlap a big Verify JVM on the same
+    # host (DuckDB's default memory_limit is 80% of RAM — beside an 80g
+    # heap that invites the OOM killer). Unset = previous behavior.
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads TO {int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
