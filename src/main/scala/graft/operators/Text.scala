@@ -807,6 +807,21 @@ object Text {
     // Token-level minhash is NOT used: this corpus' ~30-word vocabulary
     // makes token-set minima collide (3707-doc buckets measured); the
     // 3-token shingle universe is |vocab|³ — diverse.
+    //
+    // Scale shape (measured, r16): the candidate set itself is the one
+    // quadratic object here — band-collision pairs grow ~n² (87.5k at
+    // sf1 → 134M at sf30 for 30× the docs; the band structure is the
+    // declared semantics, so that growth is answer-shaped, not a plan
+    // bug). The plan therefore (a) carries each side's shingle set
+    // THROUGH the band join so the candidate stream is verified inline
+    // as the join emits it — the n² stream is never materialized,
+    // shuffled, or distinct()ed; only the linear survivor set is — and
+    // (b) prunes with the Jaccard-implied length band (J ≥ 0.4 forces
+    // 2·max(|A|,|B|) ≤ 5·min(|A|,|B|)) as integer join conditions
+    // evaluated before any array walk. The pre-r16 shape distinct()ed
+    // the raw pair set and re-joined sig twice to attach shingles —
+    // three extra shuffles of the quadratic set with array payloads
+    // (bench sf30: the whole-key cost was ~10× sf10's for 3× the data).
     "dedup_lsh" -> Q(
       (s, d) => {
         val hsExpr = expr(
@@ -827,22 +842,27 @@ object Text {
             mh(139L, 23L).as("mh2"), mh(149L, 29L).as("mh3"))
           .iterCheckpoint()
         def side(p: String) = sig.select(col("doc_id").as(s"i$p"),
+          col("hs").as(s"h$p"),
           col("mh0").as(s"${p}0"), col("mh1").as(s"${p}1"),
           col("mh2").as(s"${p}2"), col("mh3").as(s"${p}3"))
         val (a, b) = (side("a"), side("b"))
-        val cand = a.join(b, col("a0") === col("b0") && col("a1") === col("b1")
-              && col("ia") < col("ib")).select("ia", "ib")
-          .union(a.join(b, col("a2") === col("b2") && col("a3") === col("b3")
-              && col("ia") < col("ib")).select("ia", "ib"))
-          .distinct()
+        // J ≥ 0.4 implies 2·max(|A|,|B|) ≤ 5·min(|A|,|B|): a pure-integer
+        // join conjunct the merge evaluates per candidate before the
+        // array intersect ever runs — prunes, never changes the answer
+        val lenOk = size(col("ha")) * 2 <= size(col("hb")) * 5 &&
+          size(col("hb")) * 2 <= size(col("ha")) * 5
         val common = size(array_intersect(col("ha"), col("hb")))
-        cand
-          .join(sig.select(col("doc_id").as("ia"), col("hs").as("ha")), "ia")
-          .join(sig.select(col("doc_id").as("ib"), col("hs").as("hb")), "ib")
-          .select(col("ia"), col("ib"),
-            (common.cast("double") /
-              (size(col("ha")) + size(col("hb")) - common)).as("jac"))
+        val jac = common.cast("double") /
+          (size(col("ha")) + size(col("hb")) - common)
+        // verified inline per band: the quadratic candidate stream dies
+        // map-side; only linear survivors reach the distinct/sort
+        def band(cond: Column) = a
+          .join(b, cond && col("ia") < col("ib") && lenOk)
+          .select(col("ia"), col("ib"), jac.as("jac"))
           .where(col("jac") >= 0.4)
+        band(col("a0") === col("b0") && col("a1") === col("b1"))
+          .union(band(col("a2") === col("b2") && col("a3") === col("b3")))
+          .distinct() // same pair in both bands: jac is pair-deterministic
           .orderBy("ia", "ib")
       },
       Some("""WITH t AS (
