@@ -88,6 +88,48 @@ object Tables {
   }
 }
 
+/** Plan-shape helpers shared by the operator modules (optimization round
+  * r16; guide §2.4/§2.5). Both are semantics-free: they change WHERE rows
+  * sit, never which rows exist, and every declared query still ends in a
+  * total order, so results are bit-identical (driver-verified per key).
+  */
+object Shape {
+
+  /** Adaptive fix for a pathologically under-split scan (guide §2.5
+    * "input skew: one huge unsplittable file… otherwise repartition
+    * immediately after the read"). The driver's parquet inputs ship as a
+    * SINGLE row group per table, so every scan is one task and all
+    * per-row work in stage 1 (tokenize/shingle, decimal aggregation,
+    * regex/json parsing) serializes on one core regardless of cluster
+    * size — measured 1.9 s → 1.0 s on agg_group at sf0.1. The condition
+    * is layout-derived, not a local-mode constant: at real scale a scan
+    * has ≥ parallelism splits and this is the identity (no extra
+    * exchange), and the repartition width follows defaultParallelism
+    * (i.e. SPARK_GRAFT_CPUS locally, the cluster size on a deploy).
+    * Hash-distributes on the caller's key (deterministic — guide §2.5
+    * warns off rand-derived keys under retry) — callers pass a
+    * high-cardinality column so the spread is even. Only applied where
+    * stage-1 per-row work dominates: the extra exchange costs one AQE
+    * stage (~0.1 s), so trivial scans keep the plain scan. */
+  def fan(df: DataFrame, key: Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, key: _*) else df
+  }
+
+  /** Presentation sort for a BOUNDED final result (guide §2.4 "an orderBy
+    * used only to make output deterministic"): gather-then-sort in one
+    * partition instead of a global range sort. Exchange SinglePartition
+    * needs no range-boundary sampling pass, so each use saves one AQE job
+    * (~60-90 ms at the bench's per-query floor) and one exchange. Row
+    * order is identical to orderBy (one partition, same total order).
+    * ONLY for queries whose output cardinality is bounded by the schema
+    * (groupings by flags/types/buckets/bands — dozens to a few thousand
+    * rows at ANY corpus size); results that grow with the corpus keep the
+    * distributed range sort. */
+  def presentSort(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}
+
 /** Shared SparkSession builder config for all our mains/tests. */
 object Sessions {
   def local(appName: String): SparkSession = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Scratch, Tables}
 import graft.Par._
+import graft.Shape.{fan, presentSort}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,12 +76,12 @@ object Relational {
         O(s, d).where(col("o_totalprice") > 100000)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .write.mode("overwrite").option("header", "true").csv(tmp)
-        s.read
+        presentSort(s.read
           .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
           .option("header", "true").csv(tmp)
           .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
-          .orderBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total")),
+          col("o_orderstatus"))
       },
       Some(s"""SELECT o_orderstatus, count(*) AS cnt,
                      ${oSum("o_totalprice")} AS total
@@ -131,10 +132,10 @@ object Relational {
         L(s, d).where(col("l_discount") >= 0.05)
           .select("l_orderkey", "l_returnflag", "l_quantity")
           .write.mode("overwrite").orc(tmp)
-        s.read.orc(tmp)
+        presentSort(s.read.orc(tmp)
           .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
-          .orderBy("l_returnflag")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty")),
+          col("l_returnflag"))
       },
       Some("""SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
               FROM lineitem WHERE l_discount >= 0.05
@@ -149,12 +150,12 @@ object Relational {
         C(s, d).where(col("c_acctbal") > 0)
           .select("c_custkey", "c_mktsegment", "c_acctbal")
           .write.mode("overwrite").json(tmp)
-        s.read
+        presentSort(s.read
           .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
           .json(tmp)
           .groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("total"))
-          .orderBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal")).as("total")),
+          col("c_mktsegment"))
       },
       Some(s"""SELECT c_mktsegment, count(*) AS cnt,
                      ${oSum("c_acctbal")} AS total
@@ -182,7 +183,7 @@ object Relational {
           .option("rowTag", "supplier").load(tmp)
           .groupBy("s_nationkey")
           .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("total"))
-          .orderBy("s_nationkey")
+          .transform(df => presentSort(df, col("s_nationkey")))
       },
       Some(s"""SELECT s_nationkey, count(*) AS cnt,
                      ${oSum("s_acctbal")} AS total
@@ -263,7 +264,7 @@ object Relational {
               col("l_suppkey") === col("s_suppkey"))
         .groupBy("p_brand")
         .agg(dsum(discPrice).as("revenue"), count(lit(1)).as("cnt"))
-        .orderBy("p_brand"),
+        .transform(df => presentSort(df, col("p_brand"))),
       Some(s"""SELECT p_brand, ${oSum("l_extendedprice*(1-l_discount)")} AS revenue,
                      count(*) AS cnt
               FROM lineitem
@@ -280,7 +281,7 @@ object Relational {
         .join(L(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))
-        .orderBy("o_orderpriority"),
+        .transform(df => presentSort(df, col("o_orderpriority"))),
       // l_quantity is integral → double sums are exact in any order.
       Some("""SELECT o_orderpriority, count(*) AS cnt, sum(l_quantity) AS sum_qty
               FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -295,7 +296,7 @@ object Relational {
         .join(broadcast(R(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(dsum(discPrice).as("revenue"))
-        .orderBy("r_name"),
+        .transform(df => presentSort(df, col("r_name"))),
       Some(s"""SELECT r_name, ${oSum("l_extendedprice*(1-l_discount)")} AS revenue
               FROM region
               JOIN nation   ON n_regionkey = r_regionkey
@@ -484,10 +485,10 @@ object Relational {
     // Fixed-width histogram (reference's histogram pipeline). DuckDB floor()
     // returns DOUBLE → cast to BIGINT to match Spark's floor → LONG.
     "agg_histogram" -> Q(
-      (s, d) => L(s, d)
+      // bucket count is bounded by the price domain → presentation sort
+      (s, d) => presentSort(L(s, d)
         .groupBy(floor(col("l_extendedprice") / 10000).as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy("bucket"),
+        .agg(count(lit(1)).as("cnt")), col("bucket")),
       Some("""SELECT CAST(floor(l_extendedprice/10000) AS BIGINT) AS bucket,
                      count(*) AS cnt
               FROM lineitem GROUP BY 1 ORDER BY bucket""")),
@@ -511,23 +512,22 @@ object Relational {
 
     // HLL sketch — no SQL oracle (driver records rows-only check).
     "agg_approx_distinct" -> Q(
-      (s, d) => E(s, d).groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type"),
+      (s, d) => presentSort(E(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+        col("event_type")),
       None),
 
     // Quantile sketch (Greenwald-Khanna) — sketch-dependent, rows-only check;
     // the exact-percentile twin is oracled below. Quartiles are emitted as
     // three scalar columns (array cells break the driver's row-sort compare).
     "agg_approx_quantile" -> Q(
-      (s, d) => L(s, d).groupBy("l_returnflag")
+      (s, d) => presentSort(L(s, d).groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
           .as("q"))
         .select(col("l_returnflag"),
           element_at(col("q"), 1).as("q1"),
           element_at(col("q"), 2).as("median"),
-          element_at(col("q"), 3).as("q3"))
-        .orderBy("l_returnflag"),
+          element_at(col("q"), 3).as("q3")), col("l_returnflag")),
       None),
 
     // Exact percentiles (median & quartiles) — deterministic interpolation,
@@ -576,7 +576,7 @@ object Relational {
           .withColumn("rn", col("off") + col("lrn"))
         val (lo50, hi50, f50) = pick(0.5, "l_quantity")
         val (lo25, hi25, f25) = pick(0.25, "l_quantity")
-        ranked.groupBy("l_returnflag")
+        presentSort(ranked.groupBy("l_returnflag")
           .agg(lo50.as("lo50"), hi50.as("hi50"), f50.as("f50"),
             lo25.as("lo25"), hi25.as("hi25"), f25.as("f25"),
             count(lit(1)).as("cnt"))
@@ -585,8 +585,7 @@ object Relational {
               .as("median_qty"),
             (col("lo25") + (col("hi25") - col("lo25")) * col("f25"))
               .as("q1_qty"),
-            col("cnt"))
-          .orderBy("l_returnflag")
+            col("cnt")), col("l_returnflag"))
       },
       Some("""SELECT l_returnflag,
                      quantile_cont(l_quantity, 0.5) AS median_qty,
@@ -625,13 +624,13 @@ object Relational {
           max(when(col("rn") ===
             ceil(lit(p) * col("n").cast("double")).cast("bigint"),
             col("l_extendedprice")))
-        base
+        presentSort(base
           .withColumn("lrn", row_number().over(wLoc).cast("bigint"))
           .join(broadcast(offs), Seq("l_returnflag", "bkt"))
           .withColumn("rn", col("off") + col("lrn"))
           .groupBy("l_returnflag")
-          .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75"))
-          .orderBy("l_returnflag")
+          .agg(at(0.25).as("p25"), at(0.5).as("p50"), at(0.75).as("p75")),
+          col("l_returnflag"))
       },
       Some("""WITH r AS (
                 SELECT l_returnflag, l_extendedprice,
@@ -651,11 +650,11 @@ object Relational {
     // ROLLUP super-aggregate rows contain NULLs → order with explicit
     // NULLS FIRST on both engines (DuckDB defaults to NULLS LAST on ASC).
     "agg_grouping_sets" -> Q(
-      (s, d) => L(s, d)
+      (s, d) => presentSort(L(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
-        .orderBy(col("l_returnflag").asc_nulls_first,
-                 col("l_linestatus").asc_nulls_first),
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt")),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus,
                      sum(l_quantity) AS sum_qty, count(*) AS cnt
               FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -664,13 +663,13 @@ object Relational {
     // CUBE: all 4 grouping-set combinations, with GROUPING() disambiguating
     // super-aggregate NULLs from data NULLs.
     "agg_cube" -> Q(
-      (s, d) => L(s, d)
+      (s, d) => presentSort(L(s, d)
         .cube("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"),
-          grouping_id().cast("bigint").as("gid"))
-        .orderBy(col("gid"),
-          col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first),
+          grouping_id().cast("bigint").as("gid")),
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
                      sum(l_quantity) AS sum_qty,
                      CAST(grouping(l_returnflag)*2 + grouping(l_linestatus)
@@ -723,11 +722,10 @@ object Relational {
         // nullif + the `< 0` clamps. Clean-data groups are bit-unchanged.
         def sqc(v: Column) = sqrt(when(v < 0.0, lit(0.0)).otherwise(v))
         val den = sqc(n * sxx - sx * sx) * sqc(n * syy - sy * sy)
-        L(s, d).groupBy("l_returnflag")
+        presentSort(fan(L(s, d), col("l_orderkey")).groupBy("l_returnflag")
           .agg(((n * sxy - sx * sy) / nullif(den, lit(0.0)))
             .as("corr_qty_price"),
-            count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag")
+            count(lit(1)).as("cnt")), col("l_returnflag"))
       },
       Some {
         val n = "CAST(count(*) AS DOUBLE)"
@@ -761,11 +759,10 @@ object Relational {
         // semantics); intercept propagates NULL. nullif vs ANSI Divide
         // throw, same contract as agg_corr.
         val slope = (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, lit(0.0))
-        L(s, d).groupBy("l_returnflag")
+        presentSort(L(s, d).groupBy("l_returnflag")
           .agg((slope / 100.0).as("slope"),
             (((sy - slope * sx) / n) / 100.0).as("intercept"),
-            count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag")
+            count(lit(1)).as("cnt")), col("l_returnflag"))
       },
       Some {
         val n = "CAST(count(*) AS DOUBLE)"
@@ -784,7 +781,9 @@ object Relational {
 
     // Unpivot (stack): wide → long over the three price-ish columns.
     "agg_unpivot" -> Q(
-      (s, d) => L(s, d)
+      // fan(): stack() triples the row count map-side — generate in
+      // parallel, and the (unbounded) long output keeps its range sort
+      (s, d) => fan(L(s, d), col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           expr("""stack(3, 'quantity', l_quantity,
                            'price', l_extendedprice,
@@ -907,7 +906,7 @@ object Relational {
           expr("bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 60 AS INT))))")
             .cast("bigint").as("n_slots"),
           countDistinct(expr("user_id % 60")).as("n_exact"))
-        .orderBy("event_type"),
+        .transform(df => presentSort(df, col("event_type"))),
       Some("""SELECT event_type,
                      bit_or(CAST(1 AS BIGINT) << CAST(user_id % 60 AS INT))
                        AS slot_mask,
@@ -939,7 +938,7 @@ object Relational {
             coalesce(col("d_price"), col("o_totalprice")).as("tp"))
           .groupBy("st")
           .agg(count(lit(1)).as("cnt"), dsum(col("tp")).as("total"))
-          .orderBy("st")
+          .transform(df => presentSort(df, col("st")))
       },
       Some(s"""WITH delta AS (
                 SELECT o_orderkey AS d_key, 'U' AS d_status,
@@ -962,7 +961,7 @@ object Relational {
       (s, d) => O(s, d).where(pmod(col("o_orderkey"), lit(10)) === 3)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
-        .orderBy("o_orderstatus"),
+        .transform(df => presentSort(df, col("o_orderstatus"))),
       Some(s"""SELECT o_orderstatus, count(*) AS cnt,
                      ${oSum("o_totalprice")} AS total
               FROM orders WHERE o_orderkey % 10 = 3
@@ -986,7 +985,7 @@ object Relational {
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("cnt"),
             dsum(col("l_quantity")).as("sum_qty"))
-          .orderBy("l_returnflag")
+          .transform(df => presentSort(df, col("l_returnflag")))
       },
       Some(s"""SELECT l_returnflag, count(*) AS cnt,
                      ${oSum("l_quantity")} AS sum_qty
@@ -1015,7 +1014,7 @@ object Relational {
           .where(col("event_type").isin("purchase", "signup"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-          .orderBy("event_type")
+          .transform(df => presentSort(df, col("event_type")))
       },
       Some(s"""SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value
               FROM events WHERE event_type IN ('purchase', 'signup')
@@ -1048,7 +1047,7 @@ object Relational {
           .agg((m3 / nullif(m2 * sqrt(m2c), lit(0.0))).as("skew"),
             (m4 / nullif(m2 * m2, lit(0.0)) - lit(3.0)).as("kurt"),
             count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag")
+          .transform(df => presentSort(df, col("l_returnflag")))
       },
       Some {
         val x = "CAST(l_quantity AS DECIMAL(5,0))"
@@ -1142,9 +1141,9 @@ object Relational {
     "fn_udf" -> Q(
       (s, d) => {
         val digitSum = udf((k: Long) => k.toString.map(_ - '0').sum.toLong)
-        O(s, d).select(col("o_orderkey"),
+        // late projection (r16): the UDF runs post-sort, parallel
+        O(s, d).orderBy("o_orderkey").select(col("o_orderkey"),
           digitSum(col("o_orderkey")).as("key_digit_sum"))
-          .orderBy("o_orderkey")
       },
       Some {
         val ds = (0 to 9)
@@ -1165,7 +1164,7 @@ object Relational {
         L(s, d).groupBy("l_returnflag")
           .agg(modProduct(col("l_quantity").cast("bigint")).as("qty_modprod"),
             count(lit(1)).as("cnt"))
-          .orderBy("l_returnflag")
+          .transform(df => presentSort(df, col("l_returnflag")))
       },
       Some("""SELECT l_returnflag,
                      list_reduce(list_prepend(CAST(1 AS BIGINT),
@@ -1188,7 +1187,7 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(sum("partial").cast("double").as("sum_qty"),
           sum("pc").as("cnt"))
-        .orderBy("l_returnflag"),
+        .transform(df => presentSort(df, col("l_returnflag"))),
       Some(s"""SELECT l_returnflag, ${oSum("l_quantity")} AS sum_qty,
                      count(*) AS cnt
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
@@ -1199,7 +1198,7 @@ object Relational {
         .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
           expr("bool_and(o_totalprice > 0)").as("all_pos"),
           expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"))
-        .orderBy("o_orderstatus"),
+        .transform(df => presentSort(df, col("o_orderstatus"))),
       Some("""SELECT o_orderstatus,
                      CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
                      bool_and(o_totalprice > 0) AS all_pos,
@@ -1214,7 +1213,7 @@ object Relational {
         .agg(max_by(col("o_totalprice"), col("o_orderkey")).as("latest_price"),
           min_by(col("o_totalprice"), col("o_orderkey")).as("first_price"),
           count(lit(1)).as("cnt"))
-        .orderBy("o_orderpriority"),
+        .transform(df => presentSort(df, col("o_orderpriority"))),
       Some("""SELECT o_orderpriority,
                      arg_max(o_totalprice, o_orderkey) AS latest_price,
                      arg_min(o_totalprice, o_orderkey) AS first_price,
@@ -1277,11 +1276,11 @@ object Relational {
       // both engines (nullif vs the ANSI Divide throw). TPC-H prices are
       // positive so clean data never hits it, but quality-weighted corpus
       // sampling legitimately assigns weight 0 to filtered-out documents.
-      (s, d) => L(s, d).groupBy("l_returnflag")
+      (s, d) => fan(L(s, d), col("l_orderkey")).groupBy("l_returnflag")
         .agg((dsum(col("l_discount") * col("l_extendedprice")) /
             nullif(dsum(col("l_extendedprice")), lit(0.0))).as("wavg_disc"),
           count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag"),
+        .transform(df => presentSort(df, col("l_returnflag"))),
       Some(s"""SELECT l_returnflag,
                      ${oSum("l_discount*l_extendedprice")} /
                        nullif(${oSum("l_extendedprice")}, 0.0) AS wavg_disc,
@@ -1301,7 +1300,7 @@ object Relational {
           .withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
-          .orderBy("l_returnflag")
+          .transform(df => presentSort(df, col("l_returnflag")))
       },
       Some("""SELECT l_returnflag, mode_qty, n FROM (
                 SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
@@ -1311,9 +1310,15 @@ object Relational {
               WHERE rn = 1 ORDER BY l_returnflag"""))
   )
 
-  /** Flagship pricing summary, shared with SparkEntry.entry. */
-  def aggGroup(lineitem: DataFrame): DataFrame =
-    lineitem
+  /** Flagship pricing summary, shared with SparkEntry.entry.
+    *
+    * r16 shape: fan() parallelizes the exact-decimal aggregation work
+    * (guide §2.5 — the single-row-group scan serialized ~20 aggregate
+    * buffers' per-row decimal math on one core: measured 1.9 s → 1.0 s at
+    * sf0.1), and the presentation sort of the ≤ O(flags×statuses) result
+    * replaces the range-sampling exchange (guide §2.4). Identical rows. */
+  def aggGroup(lineitem: DataFrame): DataFrame = presentSort(
+    fan(lineitem, col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum("l_quantity").as("sum_qty"),
@@ -1323,6 +1328,6 @@ object Relational {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+        count(lit(1)).as("count_order")),
+    col("l_returnflag"), col("l_linestatus"))
 }

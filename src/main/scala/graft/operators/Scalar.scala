@@ -52,7 +52,11 @@ object Scalar {
               FROM part ORDER BY p_partkey""")),
 
     "fn_date" -> Q(
-      (s, d) => O(s, d).select(
+      // late projection (r16): sort first on the source key, project after —
+      // the expression work runs post-shuffle in the sort's result stage
+      // (parallel) instead of serializing on the one-split scan (guide §2.5,
+      // §1.2 "per-task work"); zero extra exchange, identical rows/order
+      (s, d) => O(s, d).orderBy("o_orderkey").select(
         col("o_orderkey"),
         year(col("o_orderdate")).cast("bigint").as("yr"),
         month(col("o_orderdate")).cast("bigint").as("mo"),
@@ -62,8 +66,7 @@ object Scalar {
           .as("month_start"),
         datediff(col("o_orderdate"), lit("2024-01-01")).cast("bigint").as("days_since"),
         add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
-        to_date(col("o_orderdate")).as("od"))
-        .orderBy("o_orderkey"),
+        to_date(col("o_orderdate")).as("od")),
       Some("""SELECT o_orderkey,
                      year(o_orderdate) AS yr,
                      month(o_orderdate) AS mo,
@@ -168,12 +171,12 @@ object Scalar {
     // raw digits — while DuckDB is strict; props must be strict JSON or
     // unparseable-as-a-whole for the oracle to replay the result.
     "fn_json" -> Q(
-      (s, d) => E(s, d).select(
+      // late projection (r16): JSON parse per row runs post-sort, parallel
+      (s, d) => E(s, d).orderBy("event_id").select(
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k_val"),
         (get_json_object(col("props"), "$.k").cast("double") * col("value"))
-          .as("k_weighted"))
-        .orderBy("event_id"),
+          .as("k_weighted")),
       Some("""SELECT event_id,
                      CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k')
                           AS INTEGER) AS k_val,
@@ -276,7 +279,8 @@ object Scalar {
     // Second date family: quarter/week/day-of-year, last day of month,
     // integer month arithmetic, constructed dates, epoch seconds.
     "fn_date2" -> Q(
-      (s, d) => O(s, d).select(
+      // late projection (r16): see fn_date
+      (s, d) => O(s, d).orderBy("o_orderkey").select(
         col("o_orderkey"),
         quarter(col("o_orderdate")).cast("bigint").as("qtr"),
         weekofyear(col("o_orderdate")).cast("bigint").as("iso_week"),
@@ -290,8 +294,7 @@ object Scalar {
         // SQL `div` = integer division → BIGINT, matching DuckDB's `//`
         // (Column./ would widen to DOUBLE and drift the output dtype)
         expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000")
-          .as("epoch_s"))
-        .orderBy("o_orderkey"),
+          .as("epoch_s")),
       Some("""SELECT o_orderkey,
                      quarter(o_orderdate) AS qtr,
                      weekofyear(o_orderdate) AS iso_week,
@@ -397,7 +400,8 @@ object Scalar {
     // CASE — outputs stay scalar (driver's pandas compare can't hash
     // nested cells).
     "fn_struct" -> Q(
-      (s, d) => O(s, d).select(
+      // late projection (r16): see fn_date
+      (s, d) => O(s, d).orderBy("o_orderkey").select(
         col("o_orderkey"),
         expr("named_struct('st', o_orderstatus, 'tp', o_totalprice).st").as("st"),
         (expr("named_struct('st', o_orderstatus, 'tp', o_totalprice).tp") * 2)
@@ -405,8 +409,7 @@ object Scalar {
         expr("struct(o_custkey % 7, 'x') < struct(o_orderkey % 7, 'y')").as("lt"),
         expr("""array_sort(array(struct(o_custkey % 7 AS a, 'x' AS b),
                                  struct(o_orderkey % 7 AS a, 'y' AS b)))[0].b""")
-          .as("min_tag"))
-        .orderBy("o_orderkey"),
+          .as("min_tag")),
       Some("""SELECT o_orderkey,
                      o_orderstatus AS st,
                      o_totalprice * 2 AS tp2,
@@ -420,7 +423,8 @@ object Scalar {
     // map_filter — the oracle computes the same scalar outputs directly
     // (the zip_with replay precedent from round 2).
     "fn_map2" -> Q(
-      (s, d) => E(s, d).select(
+      // late projection (r16): see fn_json
+      (s, d) => E(s, d).orderBy("event_id").select(
         col("event_id"),
         element_at(expr("map('t', event_type, 'u', CAST(user_id AS STRING))"),
           "t").as("etype"),
@@ -434,8 +438,7 @@ object Scalar {
         size(expr("map_filter(map('a', value, 'b', value - 250), (k, v) -> v > 0)"))
           .cast("bigint").as("n_pos"),
         expr("array_join(map_keys(map('t', event_type, 'u', '')), ',')")
-          .as("keys"))
-        .orderBy("event_id"),
+          .as("keys")),
       Some("""SELECT event_id,
                      event_type AS etype,
                      CAST(30 AS BIGINT) AS z_concat,
@@ -451,7 +454,9 @@ object Scalar {
     // double→int rounds in DuckDB but truncates in Spark, so any such cast
     // goes through an explicit floor/round first (none needed here).
     "fn_cast" -> Q(
-      (s, d) => O(s, d).select(
+      // late projection (r16): the try_cast failure paths (per-row JVM
+      // exceptions) and string round-trips run post-sort, parallel
+      (s, d) => O(s, d).orderBy("o_orderkey").select(
         col("o_orderkey"),
         col("o_orderdate").cast("string").as("ts_str"),
         col("o_orderdate").cast("date").cast("string").as("date_str"),
@@ -469,8 +474,7 @@ object Scalar {
         (col("o_orderkey") % 2).cast("boolean").as("odd"),
         expr("""CASE WHEN o_orderkey % 50 = 0
                      THEN try_cast(o_totalprice * 1e15 AS BIGINT) END""")
-          .as("overflow_null"))
-        .orderBy("o_orderkey"),
+          .as("overflow_null")),
       Some("""SELECT o_orderkey,
                      CAST(o_orderdate AS VARCHAR) AS ts_str,
                      CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
