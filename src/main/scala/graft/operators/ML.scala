@@ -105,10 +105,10 @@ object ML {
 
   /** Final per-cluster output shape shared by both variants. */
   private def kmOut(a: DataFrame): DataFrame =
-    a.groupBy("cid")
+    // presentSort (r16): K-bounded result — one fewer AQE sampling job
+    graft.Shape.presentSort(a.groupBy("cid")
       .agg(count(lit(1)).as("n"),
-        (1 to 4).map(i => kmMean(i).as(s"m$i")): _*)
-      .orderBy("cid")
+        (1 to 4).map(i => kmMean(i).as(s"m$i")): _*), col("cid"))
 
   /** DuckDB oracle: `iters` unrolled assign(+recompute) rounds. The window
     * argmin here and the array argmin in kmAssign agree because distances
@@ -169,7 +169,7 @@ object ML {
             (sum(element_at(col("embedding"), 1).cast("double")
               .cast("decimal(38,10)"))
               .cast("double") / count(lit(1))).as("mean_d1"))
-          .orderBy("cid")
+          .transform(df => graft.Shape.presentSort(df, col("cid")))
       },
       Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
                              FROM embeddings WHERE vec_id < 10),

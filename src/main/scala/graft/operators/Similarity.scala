@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Shape.presentSort
 import graft.functions.VectorOps._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -81,8 +82,9 @@ object Similarity {
     // Exact top-5 cosine neighbors for the probe set (identical double
     // fold on both engines → raw doubles compare bit-exact).
     "sim_cosine_topk" -> Q(
-      (s, d) => topk(s, d).select("pid", "vid", "cos", "rn")
-        .orderBy("pid", "rn"),
+      // presentSort (r16): output is PROBES x K rows — bounded constants
+      (s, d) => presentSort(topk(s, d).select("pid", "vid", "cos", "rn"),
+        col("pid"), col("rn")),
       Some(s"""WITH $oTopk
               SELECT pid, vid, cos, rn FROM ranked
               WHERE rn <= $K AND cos IS NOT NULL ORDER BY pid, rn""")),
@@ -103,7 +105,7 @@ object Similarity {
           .withColumn("vr", row_number().over(w))
           .where(col("vr") === 1)
           .select(col("pid"), col("label").as("pred_label"), col("votes"))
-          .orderBy("pid")
+          .transform(df => presentSort(df, col("pid"))) // bounded: <= PROBES rows
       },
       Some(s"""WITH $oTopk,
               votes AS (
@@ -162,7 +164,7 @@ object Similarity {
           .withColumn("rn", row_number().over(wTop).cast("bigint"))
           .where(col("rn") <= K && col("cos").isNotNull)
           .select("pid", "vid", "cos", "rn")
-          .orderBy("pid", "rn")
+          .transform(df => presentSort(df, col("pid"), col("rn"))) // PROBES x K
       },
       Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cemb
                              FROM embeddings WHERE vec_id < 4),
@@ -212,7 +214,7 @@ object Similarity {
           .withColumn("rn", row_number().over(w).cast("bigint"))
           .where(col("rn") <= K && col("cos").isNotNull)
           .select("pid", "vid", "cos", "rn")
-          .orderBy("pid", "rn")
+          .transform(df => presentSort(df, col("pid"), col("rn"))) // PROBES x K
       },
       Some(s"""WITH $oTopk
               SELECT pid, vid, cos, rn FROM ranked
@@ -234,7 +236,7 @@ object Similarity {
           // scored NaN, which Spark treats as the LARGEST double — every
           // zero-vector pair passed this filter while DuckDB dropped it.)
           .where(col("cos") >= 0.35)
-          .orderBy("ia", "ib")
+          .transform(df => presentSort(df, col("ia"), col("ib"))) // <= C(200,2)
       },
       Some(s"""SELECT ia, ib, cos FROM (
                 SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -265,7 +267,7 @@ object Similarity {
           .select(col("vec_id"), col("label"), bits.reduceLeft(_ + _).as("sig"))
           .groupBy("sig")
           .agg(count(lit(1)).as("n_vecs"), countDistinct("label").as("n_labels"))
-          .orderBy("sig")
+          .transform(df => presentSort(df, col("sig"))) // <= 256 buckets
       },
       Some {
         def bit(j: Int) = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.Par._
+import graft.Shape.{fan, presentSort}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,13 +60,17 @@ object Text {
       expr("n_chars div 50").as("band"),
       utoks.as("ts"), size(utoks).as("nt"))
       .iterCheckpoint()
-    // global document frequency — vocabulary-sized, one shuffle
-    val dfreq = docs.select(explode(col("ts")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    // canonical (df, token) order per doc, then the rarest-p prefix
+    // global document frequency via count-over-window on the exploded
+    // stream (r16): ts is array_distinct per doc, so count over
+    // partitionBy(token) IS the document frequency — ONE shuffle of the
+    // exploded stream replaces the former groupBy(token) aggregate PLUS
+    // the join of the stream back onto it (two exchanges of the same
+    // stream → one; guide §2.4). Values are identical, so the canonical
+    // (df, token) order — the declared semantics — is unchanged.
     val pref = docs.select(col("doc_id"), col("lang"), col("source"),
         col("band"), col("nt"), explode(col("ts")).as("token"))
-      .join(dfreq, "token")
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy("token")))
       .groupBy("doc_id", "lang", "source", "band", "nt")
       .agg(array_sort(collect_list(struct(col("df"), col("token"))))
         .as("ord"))
@@ -187,16 +192,20 @@ object Text {
         var iter = 0
         var done = false
         while (!done && iter < 20) {
-          val prop = edges.join(labels, col("b") === col("node"))
-            .groupBy("a").agg(min("label").as("nl"))
-          // carry the per-node "changed" bit in the checkpointed frame:
-          // the convergence check is then a scan of the checkpoint, not
-          // another join against the previous labels
-          val next = labels.join(prop, col("node") === col("a"), "left")
-            .select(col("node"),
-              least(col("label"), coalesce(col("nl"), col("label")))
-                .as("label"),
-              (coalesce(col("nl"), col("label")) < col("label")).as("ch"))
+          // one join + one aggregate per round (r16; formerly join + agg +
+          // a second join to re-attach the old label): the self row rides
+          // the union carrying its old label, min() over (self ∪ neighbor
+          // labels) IS least(old, min-neighbor), and max(old) recovers the
+          // old label for the per-node "changed" bit — the convergence
+          // check stays a scan of the checkpoint, one fewer shuffle/round
+          val next = labels
+            .select(col("node"), col("label"), col("label").as("old"))
+            .union(edges.join(labels, col("b") === col("node"))
+              .select(col("a"), col("label"), lit(null).cast("long")))
+            .groupBy("node")
+            .agg(min("label").as("label"), max("old").as("old"))
+            .select(col("node"), col("label"),
+              (col("label") < col("old")).as("ch"))
             .iterCheckpoint()
           done = next.where(col("ch")).isEmpty
           labels = next.select("node", "label")
@@ -384,7 +393,8 @@ object Text {
           davg(col("n_chars")).as("avg_chars"),
           min("n_chars").as("min_chars"),
           max("n_chars").as("max_chars"))
-        .orderBy("lang", "source"),
+        .transform(df => presentSort(df,
+          col("lang").asc_nulls_first, col("source").asc_nulls_first)),
       Some(s"""SELECT lang, source, count(*) AS n_docs,
                      CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                      ${oAvg("n_chars")} AS avg_chars,
@@ -450,7 +460,11 @@ object Text {
     // 100 TB the fingerprint is the grouping key (band the 16 bits into 4
     // nibbles → hash-join candidates, like MinHash banding).
     "dedup_simhash" -> Q(
-      (s, d) => D(s, d)
+      // fan() (r16), NOT late projection: the bit-majority fold must run
+      // BEFORE the presentation sort so the exchange carries the 8-byte
+      // fingerprint, never the text payload (guide §2.3) — fan is the
+      // identity on a well-split scan and parallelizes the one-split case
+      (s, d) => fan(D(s, d), col("doc_id"))
         .select(col("doc_id"), // hash list projected ONCE, not per bit
           expr("""transform(split(text, ' '),
                     t -> (ascii(substring(t, 1, 1)) * 100 + length(t))
@@ -578,17 +592,18 @@ object Text {
           .select(col("doc_id"), col("lang"), shingles.as("ss"),
             size(shingles).as("nsh"))
           .iterCheckpoint()
-        // global shingle document frequency — vocabulary³-sized, one shuffle
-        val dfreq = docs.select(explode(col("ss")).as("sh"))
-          .groupBy("sh").agg(count(lit(1)).as("df"))
         // canonical (df, sh) order per doc, then the rarest-p prefix with
         // p = nsh − ⌈0.4·nsh⌉ + 1 in exact integer arithmetic (the
         // jacPairs proof: a pair with J ≥ t shares its globally-rarest
-        // common shingle within both docs' first n − ⌈t·n⌉ + 1 positions)
+        // common shingle within both docs' first n − ⌈t·n⌉ + 1 positions).
+        // df via count-over-window on the exploded stream (r16): one
+        // shuffle replaces the former groupBy(sh) aggregate + join-back
+        // of the same stream (jacPairs rationale; values identical).
         val pref = docs
           .select(col("doc_id"), col("lang"), col("nsh"),
             explode(col("ss")).as("sh"))
-          .join(dfreq, "sh")
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("sh")))
           .groupBy("doc_id", "lang", "nsh")
           .agg(array_sort(collect_list(struct(col("df"), col("sh"))))
             .as("ord"))

@@ -180,7 +180,9 @@ object TextPipeline {
     // the regexes then find and scrub it — nonzero counts prove the scrub
     // ran. RE2/Java-common patterns; DuckDB needs the explicit 'g' flag.
     "text_pii" -> Q(
-      (s, d) => piiRedact(D(s, d)).orderBy("doc_id"),
+      // late projection (r16): see text_stem — both pii regexes run
+      // post-sort, byte-neutral shuffle (redacted line ≈ text size)
+      (s, d) => piiRedact(D(s, d).orderBy("doc_id")),
       Some("""WITH t AS (
                 SELECT doc_id,
                        text || ' contact u' || doc_id || '@mail.com or 555-' ||
@@ -230,7 +232,9 @@ object TextPipeline {
     // deterministically, then normalize back (lower, collapse \s+, trim) —
     // the canonicalization step before exact-hash dedup.
     "text_normalize" -> Q(
-      (s, d) => D(s, d)
+      // late projection (r16): see text_stem — regex collapse runs
+      // post-sort, byte-neutral shuffle (norm ≈ text size)
+      (s, d) => D(s, d).orderBy("doc_id")
         .select(col("doc_id"),
           concat(lit("  "), upper(col("text")), lit("\t\t END  ")).as("messy"),
           col("text"))
@@ -239,8 +243,7 @@ object TextPipeline {
           size(expr("regexp_extract_all(messy, '\\\\s+', 0)"))
             .cast("bigint").as("n_ws_runs"),
           (lower(trim(regexp_replace(col("messy"), "\\s+", " "))) ===
-            concat(col("text"), lit(" end"))).as("roundtrip_ok"))
-        .orderBy("doc_id"),
+            concat(col("text"), lit(" end"))).as("roundtrip_ok")),
       // Oracle case-mapping mirrors (no-ops on ASCII): the JVM's FULL
       // Unicode mapping has upper('ß') = 'SS' (DuckDB: 'ẞ') and
       // lower('İ') = 'i' + combining U+0307 (DuckDB: 'i') — the engine
@@ -265,7 +268,10 @@ object TextPipeline {
     // Suffix-strip stemmer (Porter step-1-ish): same alternation order =
     // same result on both regex engines. Narrow per-token map.
     "text_stem" -> Q(
-      (s, d) => D(s, d)
+      // late projection (r16): the per-token regex strip (the whole cost)
+      // runs post-sort, parallel; shuffle bytes are unchanged — the sort
+      // carries the text either way (stemmed output ≈ input size)
+      (s, d) => D(s, d).orderBy("doc_id")
         .select(col("doc_id"), tk.as("tk"))
         .select(col("doc_id"),
           expr("""array_join(transform(tk,
@@ -273,8 +279,7 @@ object TextPipeline {
             .as("stemmed"),
           expr("""CAST(size(filter(tk,
                     t -> regexp_replace(t, '(ing|ed|es|s)$', '') != t))
-                  AS BIGINT)""").as("n_stemmed"))
-        .orderBy("doc_id"),
+                  AS BIGINT)""").as("n_stemmed")),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                          FROM documents)
               SELECT doc_id,
@@ -361,12 +366,18 @@ object TextPipeline {
     // 100 TB the probe side is tiny and broadcast.
     "text_decontaminate" -> Q(
       (s, d) => {
+        // r16: the shingle inventory is consumed twice (probe side + corpus
+        // side) and nothing pinned ONE evaluation — each side re-ran the
+        // tokenize → explode → md5 → distinct pipeline over the whole
+        // corpus. Materialize it once (the dedup_span idiom; ~32 B/shingle
+        // hash, ~1/1 corpus row count, far smaller than the text).
         val sh = D(s, d).where(size(tk) >= 5)
           .select(col("doc_id"), tk.as("tk"), size(tk).as("nt"))
           .withColumn("st", explode(expr("sequence(1, nt - 4)")))
           .select(col("doc_id"),
             md5(expr("array_join(slice(tk, st, 5), ' ')")).as("h"))
           .distinct()
+          .iterCheckpoint()
         val probe = sh.where(col("doc_id") % 97 === 0)
           .select(col("h"), col("doc_id").as("probe_id"))
         // the probe side (held-out eval set) is tiny BY CONSTRUCTION at

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.Shape.presentSort
 import graft.Par._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -49,7 +50,7 @@ object TimeSeries {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .select(col("window.start").as("bucket"), col("event_type"),
           col("n"), col("sum_value"))
-        .orderBy("bucket", "event_type"),
+        .transform(df => presentSort(df, col("bucket"), col("event_type"))),
       Some(s"""SELECT date_trunc('hour', ts) AS bucket, event_type,
                      count(*) AS n, ${oSum("value")} AS sum_value
               FROM events GROUP BY 1, 2
@@ -62,7 +63,7 @@ object TimeSeries {
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("w_start"), col("event_type"), col("n"))
-        .orderBy("w_start", "event_type"),
+        .transform(df => presentSort(df, col("w_start"), col("event_type"))),
       Some("""SELECT make_timestamp((epoch_us(ts) // 900000000 - i) * 900000000)
                        AS w_start,
                      event_type, count(*) AS n
@@ -122,7 +123,7 @@ object TimeSeries {
           .where(usec(col("ts")) >= col("cut_us"))
           .groupBy("event_type")
           .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
-          .orderBy("event_type")
+          .transform(df => presentSort(df, col("event_type")))
       },
       Some(s"""SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value
               FROM events
@@ -162,7 +163,7 @@ object TimeSeries {
           .agg(count(lit(1)).as("n"),
             expr("count_if(z > 3.0)").as("n_anom"),
             max("z").as("max_absz"))
-          .orderBy("event_type")
+          .transform(df => presentSort(df, col("event_type")))
       },
       Some {
         val n = "CAST(count(*) AS DOUBLE)"
@@ -202,7 +203,7 @@ object TimeSeries {
               .as("bucket"),
             col("event_type"),
             coalesce(col("n_raw"), lit(0L)).as("n"))
-          .orderBy("bucket", "event_type")
+          .transform(df => presentSort(df, col("bucket"), col("event_type")))
       },
       Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type
                         FROM events),
@@ -356,7 +357,7 @@ object TimeSeries {
             date_trunc("week", col("ts")).cast("timestamp_ntz").as("active_wk"))
           .groupBy("cohort_wk", "active_wk")
           .agg(countDistinct("user_id").as("n_users"))
-          .orderBy("cohort_wk", "active_wk")
+          .transform(df => presentSort(df, col("cohort_wk"), col("active_wk")))
       },
       Some("""WITH first AS (
                 SELECT user_id,
