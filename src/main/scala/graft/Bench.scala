@@ -150,6 +150,43 @@ object Bench {
         // which warmups still pay for themselves is re-decided per round
         System.err.println(f"[bench] warmup $w ${elapsedS - w0}%.1fs")
       }
+      // Diffuse-JIT warm pass at the SMALLEST sibling scale factor (r17).
+      // Measured at round start: pass 1 carried ~26 s of one-time cost
+      // (codegen compile + JVM JIT) spread in 0.1–0.6 s slices over ~100
+      // keys — too diffuse for a per-key warm list, and re-running the
+      // whole suite at sfDir would double every steady cost inside the
+      // driver's budget (the round-13 lesson). Running each query ONCE,
+      // untimed, against the smallest sf* sibling directory compiles and
+      // JITs the same generated code over ~100× less data, so pass 1
+      // measures the steady-state plan like every later pass. Methodology
+      // is otherwise untouched: timed loop, noop sink, min-of-N, JSON
+      // line, env contract all unchanged; nothing computed here is reused
+      // by the timed passes (different input dir; no caching). The keys
+      // warmed at sfDir above are excluded (mm_pipeline/join_bucketed
+      // would build a second scratch corpus keyed on the sibling dir).
+      val warmed = warm.toSet
+      val sibling = Option(new java.io.File(sfDir).getCanonicalFile)
+        .flatMap(f => Option(f.getParentFile).map(p => (f, p)))
+        .flatMap { case (f, parent) =>
+          Option(parent.listFiles()).getOrElse(Array.empty)
+            .filter(s => s.isDirectory && s.getName.startsWith("sf") &&
+              s.getCanonicalPath != f.getCanonicalPath)
+            .flatMap(s => s.getName.stripPrefix("sf").toDoubleOption
+              .filter(_ < f.getName.stripPrefix("sf").toDoubleOption
+                .getOrElse(Double.MaxValue)).map(sz => (sz, s)))
+            .sortBy(_._1).headOption.map(_._2.getPath)
+        }
+      sibling match {
+        case Some(wd) =>
+          val w0 = elapsedS
+          for ((name, fn) <- names if !warmed(name)) {
+            try fn(spark, wd).write.mode("overwrite").format("noop").save()
+            catch { case NonFatal(_) => }
+          }
+          System.err.println(f"[bench] jit warm pass at $wd ${elapsedS - w0}%.1fs")
+        case None =>
+          System.err.println("[bench] jit warm pass skipped: no smaller sf* sibling")
+      }
     }
     var pass = 0
     var lastPassDur = 0.0

@@ -113,7 +113,29 @@ object Shape {
     * stage (~0.1 s), so trivial scans keep the plain scan. */
   def fan(df: DataFrame, key: Column*): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p, key: _*) else df
+    if (scanPartitions(df) < p) df.repartition(p, key: _*) else df
+  }
+
+  /** Memo for [[fan]]'s layout probe (r17; VERDICT r16 item 7): every
+    * `df.rdd.getNumPartitions` call forces a full physical planning (and
+    * file listing) of the subtree — pure driver overhead re-paid on every
+    * bench pass. fan() is only ever called on the memoized [[Tables.t]]
+    * DataFrames, whose analyzed plan is one object per (session, dir,
+    * table), so a weak identity map keyed on that plan caches the count
+    * for the session's lifetime without pinning stopped sessions (weak
+    * keys: when the memoized DataFrame goes, the entry goes). The count
+    * itself is unchanged — same probe, computed once instead of per call
+    * per pass — so plan shapes are bit-identical to r16. */
+  private val scanParts =
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+  private def scanPartitions(df: DataFrame): Int = scanParts.synchronized {
+    val k = df.queryExecution.analyzed
+    val hit = scanParts.get(k)
+    if (hit != null) hit.intValue()
+    else {
+      val n = df.rdd.getNumPartitions
+      scanParts.put(k, Integer.valueOf(n)); n
+    }
   }
 
   /** Presentation sort for a BOUNDED final result (guide §2.4 "an orderBy
@@ -128,6 +150,43 @@ object Shape {
     * distributed range sort. */
   def presentSort(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Pin a CPU-heavy, small-bytes stage at the session's shuffle width so
+    * AQE's BYTE-based partition coalescing cannot serialize it (r17).
+    * Motivating case (guide §2.5, "partition by cost, not bytes"): the
+    * set-similarity verify joins probe a broadcast of the document arrays
+    * with the candidate-pair stream — ~50k 16-byte rows, under 1 MB, so
+    * AQE coalesces the distinct's output to ONE partition and the whole
+    * verify (two joins + array_intersect over ~10³-element arrays per
+    * pair) runs as a single task: measured 4.9 s → 1.8 s on dedup_ngram at
+    * sf0.1/local[32] when spread back out. REPARTITION_BY_NUM is exactly
+    * the hint AQE respects (user-pinned width, never coalesced). Width =
+    * spark.sql.shuffle.partitions — the deploy-tunable operator width, NOT
+    * a local-mode constant (Sessions.local sets it to SPARK_GRAFT_CPUS; a
+    * cluster sets it to its own reduce width); at real scale the stream is
+    * large, the verify join plans as SMJ keyed on the same column, and a
+    * hash(key, shuffle.partitions) child partitioning is reused by the
+    * join, so the extra exchange collapses into the join's own. */
+  def spread(df: DataFrame, key: Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      key: _*)
+
+  /** Right-size a MATERIALIZED (checkpointed) table that iterative rounds
+    * will scan repeatedly (r17). AQE's byte-based coalescing governs
+    * shuffle reads inside one query, but a checkpoint freezes whatever
+    * width its materialization ran at — after [[spread]] that is the full
+    * shuffle width, so every round's union/join/aggregate over the pair
+    * set launched 32-64 near-empty tasks (measured: graph_pagerank rounds
+    * +0.3-0.5 s each at sf0.1). One row-count probe (a driver SCALAR, the
+    * same class as dedup_cluster's convergence isEmpty and pagerank's |V|
+    * count) picks the round-input width; coalesce is NARROW on the
+    * materialized blocks — no shuffle, no recompute of the checkpoint.
+    * Scale-adaptive: rows/task, not a local constant — a 100 TB pair set
+    * keeps thousands of round tasks, a thousand-pair set gets one. */
+  def pack(df: DataFrame, rowsPerTask: Long = 1L << 20): DataFrame = {
+    val width = math.max(1L, (df.count() + rowsPerTask - 1) / rowsPerTask)
+    df.coalesce(math.min(width, Int.MaxValue.toLong).toInt)
+  }
 }
 
 /** Shared SparkSession builder config for all our mains/tests. */

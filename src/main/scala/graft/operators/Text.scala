@@ -98,6 +98,10 @@ object Text {
         col("band") === col("band_b") && col("token") === col("token_b") &&
         col("ia") < col("ib"))
       .select("ia", "ib").distinct()
+      // spread (r17): the deduped pair stream is tiny in BYTES but each
+      // row costs an array_intersect over the full token sets below — AQE
+      // byte-coalescing was collapsing it to one task (guide §2.5).
+      .transform(graft.Shape.spread(_, col("ia")))
     // exact verification on candidates only
     cand
       .join(docs.select(col("doc_id").as("ia"), col("ts").as("tsa"),
@@ -185,7 +189,12 @@ object Text {
     // recomputes honestly. Oracle: recursive-CTE transitive closure.
     "dedup_cluster" -> Q(
       (s, d) => {
-        val pr = jacPairs(s, d, 0.9).select("ia", "ib").iterCheckpoint()
+        // pack (r17): checkpoint at the verify's spread width, then
+        // right-size the materialized pair set for the rounds — every
+        // round scans it, and the 32-way spread width would otherwise
+        // ride the checkpoint into each round (see Shape.pack).
+        val pr = graft.Shape.pack(
+          jacPairs(s, d, 0.9).select("ia", "ib").iterCheckpoint())
         val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
         var labels = edges.select(col("a").as("node")).distinct()
           .withColumn("label", col("node")).iterCheckpoint()
@@ -636,6 +645,10 @@ object Text {
             least(col("na") - col("pa"), col("nb") - col("pb")) * 7 >=
               (col("na") + col("nb")) * 2)
           .select("ia", "ib").distinct()
+          // spread (r17): verify below is CPU-bound per pair, not
+          // byte-bound — don't let AQE serialize it (measured 4.9→1.8 s;
+          // see Shape.spread).
+          .transform(graft.Shape.spread(_, col("ia")))
         // exact verification on candidates only (full shingle sets)
         cand
           .join(docs.select(col("doc_id").as("ia"), col("ss").as("sa"),
@@ -927,7 +940,9 @@ object Text {
     // keep the graph near-linear in corpus size).
     "graph_triangles" -> Q(
       (s, d) => {
-        val e = jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint()
+        // pack (r17): dedup_cluster rationale (round-input width)
+        val e = graft.Shape.pack(
+          jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint())
         val tri = e.as("e1")
           .join(e.as("e2"), col("e1.ib") === col("e2.ia"))
           .join(e.as("e3"),
@@ -971,7 +986,9 @@ object Text {
     // unrolled as CTEs.
     "graph_pagerank" -> Q(
       (s, d) => {
-        val pr = jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint()
+        // pack (r17): dedup_cluster rationale (round-input width)
+        val pr = graft.Shape.pack(
+          jacPairs(s, d, 0.8).select("ia", "ib").iterCheckpoint())
         val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
         val deg = edges.groupBy("a").agg(count(lit(1)).as("degree"))
         // (a, b, degree-of-a): contribution denominators travel with the

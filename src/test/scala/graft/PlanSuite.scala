@@ -408,23 +408,28 @@ class PlanSuite extends SparkSpec {
       s"graph_pagerank presentation pass grew shuffles: ${countShuffles(pr)}")
   }
 
-  test("kmeans_conv round: point data never shuffles, probe is narrow") {
-    // One convergence-loop round over a materialized assignment. The only
-    // shuffles allowed are the two K-row centroid aggregations (recompute
-    // groupBy + the collect_list pack); the point-set path — re-assignment
-    // AND the changed-assignment probe — must stay narrow. A reintroduced
-    // per-round join with the point set would jump this count.
+  test("kmeans_conv round: point data never shuffles, probe rides the agg") {
+    // One convergence-loop round over a materialized assignment (r17
+    // shape, VERDICT r16 item 4). The round's ONLY shuffle is the K-row
+    // snapshot aggregate — which carries BOTH the centroid recompute and
+    // the changed-assignment count, so there is no separate probe pass —
+    // and the literal-centroid re-assignment must stay a pure narrow
+    // projection (zero shuffles, no broadcast). A reintroduced per-round
+    // join with the point set or a split-out probe would jump these.
     import graft.operators.ML
     import graft.Par.IterCheckpoint
-    import org.apache.spark.sql.functions.col
-    val assigned = ML.kmReassign(
-        ML.kmC0(ML.kmPts(spark, sf)).select(
-          col("cid").as("vec_id"), col("ce").as("e"), col("cid")),
-        ML.kmC0(ML.kmPts(spark, sf)))
-      .drop("prev_cid").iterCheckpoint()
-    val round = ML.kmReassign(assigned, ML.kmRecompute(assigned))
-    val probe = round.where(col("cid") =!= col("prev_cid"))
-    assert(countShuffles(probe) <= 2,
-      s"kmeans_conv round grew a point-set shuffle: ${countShuffles(probe)}")
+    import org.apache.spark.sql.functions.{col, lit}
+    val assigned = ML.kmC0(ML.kmPts(spark, sf)).select(
+        col("cid").as("vec_id"), col("ce").as("e"), col("cid"))
+      .withColumn("prev_cid", lit(-1L)).iterCheckpoint()
+    val snapPlan = ML.kmSnapAgg(assigned)
+    assert(countShuffles(snapPlan) <= 1,
+      s"kmeans_conv snapshot agg grew shuffles: ${countShuffles(snapPlan)}")
+    val snap = snapPlan.take(8)
+    val round = ML.kmReassignLit(assigned, snap)
+    assert(countShuffles(round) == 0,
+      s"kmeans_conv re-assignment is no longer narrow: ${countShuffles(round)}")
+    assert(!round.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "kmeans_conv re-assignment reintroduced a broadcast")
   }
 }
