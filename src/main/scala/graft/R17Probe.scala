@@ -326,6 +326,99 @@ object R17Probe {
       }
     }
 
+    // A/B: establish the FINAL presentation range partitioning BEFORE the
+    // window/agg (guide §2.4 "ordering the operations so that the
+    // partitioning is established once can save a full pass") vs the
+    // current hash-exchange-then-range-orderBy (two full-stream
+    // exchanges). RangePartitioning(k) satisfies ClusteredDistribution
+    // over any superset of k, so the window/agg adds NO exchange, and the
+    // trailing sortWithinPartitions over disjoint ranges IS the total
+    // order.
+    if (want("rangefirst")) {
+      println("== range-first vs hash+orderBy ==")
+      def E = Tables.t(spark, d, "events")
+      def O = Tables.t(spark, d, "orders")
+      import graft.Par.{usec, dsumOver, anyNfOver}
+      def tsRolling(rangeFirst: Boolean): DataFrame = {
+        val ord = Window.partitionBy("event_type")
+          .orderBy(col("t"), col("event_id"))
+        val w7 = ord.rowsBetween(-6, Window.currentRow)
+        val src = E.select(col("event_type"), col("event_id"), col("value"),
+          usec(col("ts")).as("t"))
+        val base = if (rangeFirst) src.repartitionByRange(col("event_type"))
+          else src
+        val out = base
+          .select(col("event_type"), col("event_id"),
+            row_number().over(ord).as("rn"),
+            when(anyNfOver(col("value"), w7), lit(Double.NaN))
+              .otherwise(expr("percentile(value, 0.5)").over(w7))
+              .as("roll_med"),
+            min("value").over(w7).as("roll_min"),
+            max("value").over(w7).as("roll_max"),
+            dsumOver(col("value"), w7).as("roll_sum"))
+          .where(col("rn") >= 7)
+          .select("event_type", "event_id", "roll_med", "roll_min",
+            "roll_max", "roll_sum")
+        if (rangeFirst) out.sortWithinPartitions("event_type", "event_id")
+        else out.orderBy("event_type", "event_id")
+      }
+      def winRank(rangeFirst: Boolean): DataFrame = {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val base = if (rangeFirst) O.repartitionByRange(col("o_custkey")) else O
+        val out = base
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(w).cast("bigint").as("rn"),
+            rank().over(w).cast("bigint").as("rnk"),
+            dense_rank().over(w).cast("bigint").as("drnk"))
+          .where(col("rn") <= 3)
+        if (rangeFirst) out.sortWithinPartitions("o_custkey", "rn")
+        else out.orderBy("o_custkey", "rn")
+      }
+      def aggCollect(rangeFirst: Boolean): DataFrame = {
+        val base = if (rangeFirst) L.repartitionByRange(col("l_orderkey")) else L
+        val out = base.groupBy("l_orderkey")
+          .agg(
+            array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+              _.cast("string")), ",").as("lines"),
+            array_join(sort_array(collect_set(col("l_returnflag"))), ",")
+              .as("flags"))
+        if (rangeFirst) out.sortWithinPartitions("l_orderkey")
+        else out.orderBy("l_orderkey")
+      }
+      val variants = Seq(
+        "rolling_hash"  -> (() => tsRolling(false)),
+        "rolling_range" -> (() => tsRolling(true)),
+        "rank_hash"     -> (() => winRank(false)),
+        "rank_range"    -> (() => winRank(true)),
+        "collect_hash"  -> (() => aggCollect(false)),
+        "collect_range" -> (() => aggCollect(true)))
+      for ((tag, q) <- variants) noop(q()) // warm
+      for (_ <- 1 to 3; (tag, q) <- variants) {
+        jobs = 0
+        val t0 = System.nanoTime()
+        noop(q())
+        println(f"$tag%-14s ${(System.nanoTime() - t0) / 1e6}%6.0f ms  jobs $jobs")
+      }
+      // shape check: the range variant must have exactly ONE exchange and
+      // no extra sort below the window
+      for ((tag, q) <- Seq("rolling_range" -> tsRolling(true),
+          "rank_range" -> winRank(true), "collect_range" -> aggCollect(true))) {
+        val plan = q.queryExecution.executedPlan.toString
+        val nEx = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+        println(s"$tag exchanges=$nEx")
+      }
+      // row identity incl. ORDER: compare as arrays (zip positions)
+      for ((name, a, b) <- Seq(
+          ("rolling", tsRolling(false), tsRolling(true)),
+          ("rank", winRank(false), winRank(true)),
+          ("collect", aggCollect(false), aggCollect(true)))) {
+        val xs = a.collect(); val ys = b.collect()
+        val same = xs.length == ys.length && xs.zip(ys).forall { case (x, y) => x == y }
+        println(s"$name ordered-equal: $same (${xs.length} rows)")
+      }
+    }
+
     if (want("cluster")) {
       println("== dedup_cluster rounds ==")
       jobs = 0

@@ -802,13 +802,20 @@ object Relational {
     // would put "10" before "2"): scalar cells keep the driver's row-sort
     // compare happy.
     "agg_collect" -> Q(
-      (s, d) => L(s, d).groupBy("l_orderkey")
+      // rangePre (r17): one range exchange serves both the groupBy's
+      // clustering and the final l_orderkey total order. collect_list has
+      // no reducing partial aggregate — the shuffle carried every element
+      // either way — so unlike sum/count aggs, losing the partial/final
+      // split costs nothing at any scale. A/B: 1.11 -> 0.75 s,
+      // ordered-equal rows (R17Probe rangefirst).
+      (s, d) => graft.Shape.rangePre(L(s, d), col("l_orderkey"))
+        .groupBy("l_orderkey")
         .agg(
           array_join(transform(sort_array(collect_list(col("l_linenumber"))),
             _.cast("string")), ",").as("lines"),
           array_join(sort_array(collect_set(col("l_returnflag"))), ",")
             .as("flags"))
-        .orderBy("l_orderkey"),
+        .sortWithinPartitions("l_orderkey"),
       Some("""SELECT l_orderkey,
                      string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines,
                      string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag)

@@ -28,13 +28,16 @@ object Windows {
       (s, d) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        O(s, d)
+        // rangePre (r17): one range exchange serves both the window's
+        // clustering and the final (o_custkey, rn) total order —
+        // sortWithinPartitions over disjoint key ranges IS the orderBy.
+        graft.Shape.rangePre(O(s, d), col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
             row_number().over(w).cast("bigint").as("rn"),
             rank().over(w).cast("bigint").as("rnk"),
             dense_rank().over(w).cast("bigint").as("drnk"))
           .where(col("rn") <= 3)
-          .orderBy("o_custkey", "rn")
+          .sortWithinPartitions("o_custkey", "rn")
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
               FROM (SELECT o_custkey, o_orderkey, o_totalprice,
@@ -52,11 +55,12 @@ object Windows {
         val w = Window.partitionBy("o_custkey")
           .orderBy("o_orderdate", "o_orderkey")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        O(s, d)
+        // rangePre (r17): win_rank rationale
+        graft.Shape.rangePre(O(s, d), col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"),
             sum(col("o_totalprice").cast("decimal(38,6)")).over(w)
               .cast("double").as("cum_spend"))
-          .orderBy("o_custkey", "o_orderkey")
+          .sortWithinPartitions("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
                      CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER
@@ -126,12 +130,13 @@ object Windows {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        O(s, d)
+        // rangePre (r17): win_rank rationale
+        graft.Shape.rangePre(O(s, d), col("o_custkey"))
           .select(col("o_custkey"), col("o_orderkey"),
             first("o_totalprice").over(w).as("first_price"),
             last("o_totalprice").over(w).as("last_price"),
             nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
-          .orderBy("o_custkey", "o_orderkey")
+          .sortWithinPartitions("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
                      first_value(o_totalprice) OVER w AS first_price,

@@ -20,7 +20,7 @@ class StaticGuardSuite extends SparkSpec {
   // Tooling entry points that legitimately materialize results driver-side.
   private val toolingFiles = Set(
     "GoldenGen.scala", "PrintInventory.scala", "PrintPlans.scala",
-    "Verify.scala", "Bench.scala", "EditProbe.scala")
+    "Verify.scala", "Bench.scala", "EditProbe.scala", "R17Probe.scala")
 
   test("no collect()-class driver materialization outside tooling mains") {
     val banned = Seq(".collect()", ".collectAsList(", ".toLocalIterator")
