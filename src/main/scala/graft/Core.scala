@@ -147,9 +147,52 @@ object Shape {
     * ONLY for queries whose output cardinality is bounded by the schema
     * (groupings by flags/types/buckets/bands — dozens to a few thousand
     * rows at ANY corpus size); results that grow with the corpus keep the
-    * distributed range sort. */
-  def presentSort(df: DataFrame, cols: Column*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols: _*)
+    * distributed range sort.
+    *
+    * r17: when the input is a grouped AGGREGATE, the single partition
+    * comes from a NARROW coalesce(1) instead of repartition(1) — the
+    * grouped agg's own hash exchange is right below, so coalesce collapses
+    * only the bounded final-merge stage into one task and the second
+    * exchange (plus its AQE job, ~45-90 ms/key) disappears. Measured
+    * (R17Probe floor, min-of-10): 3-job presentSort 206 ms -> 2-job
+    * coalesce 164 ms on the same aggregate. Decided on the ANALYZED
+    * logical plan (no physical planning — the fan() plan_ms lesson):
+    * requires non-empty grouping keys (a partial/final split exists), no
+    * DISTINCT aggregate (its merge cardinality is the distinct-pair count,
+    * not the group count), and no bucketed relation below (a bucket-aligned
+    * agg plans NO exchange, and coalesce(1) would serialize the whole
+    * join/scan stage — join_bucketed's pinned shape). Everything else
+    * keeps repartition(1): under a window/join/scan top node, coalesce's
+    * narrow collapse would reach the scan and serialize real work. */
+  def presentSort(df: DataFrame, cols: Column*): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @scala.annotation.tailrec
+    def topAgg(p: LogicalPlan): Option[Aggregate] = p match {
+      case a: Aggregate => Some(a)
+      case _: Project | _: Filter | _: SubqueryAlias => topAgg(p.children.head)
+      case _ => None
+    }
+    val mergeBounded = topAgg(df.queryExecution.analyzed) match {
+      case Some(a) =>
+        a.groupingExpressions.nonEmpty &&
+          !a.aggregateExpressions.exists(_.exists {
+            case ae: AggregateExpression => ae.isDistinct
+            case _ => false
+          }) &&
+          !a.exists {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation => fs.bucketSpec.isDefined
+              case _ => false
+            }
+            case _ => false
+          }
+      case None => false
+    }
+    if (mergeBounded) df.coalesce(1).sortWithinPartitions(cols: _*)
+    else df.repartition(1).sortWithinPartitions(cols: _*)
+  }
 
   /** Pin a CPU-heavy, small-bytes stage at the session's shuffle width so
     * AQE's BYTE-based partition coalescing cannot serialize it (r17).

@@ -56,7 +56,14 @@ object R17Probe {
       val q3 = () => Shape.presentSort(
         L.groupBy("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n")),
         col("l_returnflag"), col("l_linestatus")) // 2 exchanges -> 3 jobs
-      for ((tag, q) <- Seq("2job" -> q2, "3job" -> q3)) {
+      // coalesce(1) variant: NARROW single-partition collapse — the final
+      // agg merge runs one task over the map-side partials, no second
+      // exchange, no extra AQE job
+      val q3c = () => L.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .sortWithinPartitions(col("l_returnflag"), col("l_linestatus"))
+      for ((tag, q) <- Seq("2job" -> q2, "3job" -> q3, "3coal" -> q3c)) {
         noop(q()) // warm
         var best = Double.MaxValue; var sum = 0.0
         val reps = 10
@@ -430,6 +437,86 @@ object R17Probe {
         SparkEntry.queries("dedup_near")(spark, d)
       }
       ()
+    }
+
+    // A/B: agg_percentile family — range-partition the stream by
+    // (group, bkt) FIRST so the per-bucket counts aggregate and the rank
+    // window consume ONE shared exchange (ReusedExchange also collapses
+    // the second FileScan); vs the current independent counts-agg +
+    // window-hash-exchange subtrees.
+    if (want("pctl")) {
+      println("== agg_percentile: shared range exchange vs two subtrees ==")
+      def pctl(rangeFirst: Boolean): DataFrame = {
+        val base0 = L.select(col("l_returnflag"), col("l_quantity"),
+          floor(col("l_quantity")).cast("bigint").as("bkt"))
+        val base = if (rangeFirst)
+          base0.repartitionByRange(col("l_returnflag"), col("bkt"))
+        else base0
+        val wLoc = Window.partitionBy("l_returnflag", "bkt")
+          .orderBy("l_quantity")
+        val counts = base.groupBy("l_returnflag", "bkt")
+          .agg(count(lit(1)).as("cnt"))
+        val wOff = Window.partitionBy("l_returnflag").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = counts.select(col("l_returnflag"), col("bkt"),
+          coalesce(sum("cnt").over(wOff), lit(0L)).as("off"),
+          sum("cnt").over(Window.partitionBy("l_returnflag")).as("n"))
+        def pick(p: Double, v: String): (Column, Column, Column) = {
+          val pos = lit(p) * (col("n") - 1).cast("double")
+          val lo = floor(pos).cast("bigint") + 1
+          val hi = ceil(pos).cast("bigint") + 1
+          (max(when(col("rn") === lo, col(v))),
+            max(when(col("rn") === hi, col(v))),
+            max(pos - floor(pos)))
+        }
+        val ranked = base
+          .withColumn("lrn", row_number().over(wLoc).cast("bigint"))
+          .join(broadcast(offs), Seq("l_returnflag", "bkt"))
+          .withColumn("rn", col("off") + col("lrn"))
+        val (lo50, hi50, f50) = pick(0.5, "l_quantity")
+        val (lo25, hi25, f25) = pick(0.25, "l_quantity")
+        Shape.presentSort(ranked.groupBy("l_returnflag")
+          .agg(lo50.as("lo50"), hi50.as("hi50"), f50.as("f50"),
+            lo25.as("lo25"), hi25.as("hi25"), f25.as("f25"),
+            count(lit(1)).as("cnt"))
+          .select(col("l_returnflag"),
+            (col("lo50") + (col("hi50") - col("lo50")) * col("f50"))
+              .as("median_qty"),
+            (col("lo25") + (col("hi25") - col("lo25")) * col("f25"))
+              .as("q1_qty"),
+            col("cnt")), col("l_returnflag"))
+      }
+      for (rf <- Seq(false, true)) noop(pctl(rf)) // warm
+      for (rep <- 1 to 3; rf <- Seq(false, true)) {
+        jobs = 0
+        val t0 = System.nanoTime()
+        noop(pctl(rf))
+        println(f"rangeFirst=$rf rep$rep ${(System.nanoTime() - t0) / 1e6}%6.0f ms  jobs $jobs")
+      }
+      for (rf <- Seq(false, true)) {
+        val plan = pctl(rf).queryExecution.executedPlan.toString
+        val nEx = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+        val nScan = "FileScan".r.findAllIn(plan).length
+        val nReuse = "ReusedExchange".r.findAllIn(plan).length
+        println(s"rangeFirst=$rf exchanges=$nEx scans=$nScan reused=$nReuse")
+      }
+      val a = pctl(false).collect(); val b = pctl(true).collect()
+      println(s"ordered-equal: ${a.length == b.length &&
+        a.zip(b).forall { case (x, y) => x == y }} (${a.length} rows)")
+    }
+
+    // total job+wall count over the full iterative keys (checkpoint rounds
+    // included) — contention-immune shape evidence for the r17 batching
+    if (want("iterjobs")) {
+      println("== iterative keys: total jobs ==")
+      for (k <- Seq("dedup_cluster", "graph_pagerank"))
+        noop(SparkEntry.queries(k)(spark, d)) // warm
+      for (rep <- 1 to 3; k <- Seq("dedup_cluster", "graph_pagerank")) {
+        jobs = 0
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(k)(spark, d))
+        println(f"$k%-16s rep$rep ${(System.nanoTime() - t0) / 1e6}%6.0f ms  jobs $jobs")
+      }
     }
 
     if (want("ckpt")) {

