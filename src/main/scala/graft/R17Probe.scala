@@ -505,6 +505,42 @@ object R17Probe {
         a.zip(b).forall { case (x, y) => x == y }} (${a.length} rows)")
     }
 
+    // per-key FIRST-execution-minus-steady cost (the diffuse JIT/codegen
+    // pass-1 tax): decides which keys earn a slot in Bench's sf0.001 JIT
+    // warm list — warming a key costs ~0.4-0.5 s of budget, so only keys
+    // whose pass-1 tax exceeds that pay for themselves
+    if (want("jitcost")) {
+      println("== pass-1 tax per key (first minus min-of-2 steady) ==")
+      val skip = Set("scan_parquet", "mm_pipeline", "join_bucketed",
+        "dedup_mllsh") // corpus-warmed at sfDir already
+      val names = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => !skip(n) }
+      val firsts = scala.collection.mutable.Map[String, Double]()
+      for ((n, fn) <- names) {
+        val t0 = System.nanoTime()
+        try noop(fn(spark, d)) catch { case scala.util.control.NonFatal(_) => }
+        firsts(n) = (System.nanoTime() - t0) / 1e9
+      }
+      val steady = scala.collection.mutable.Map[String, Double]()
+      for (_ <- 1 to 2; (n, fn) <- names) {
+        val t0 = System.nanoTime()
+        try noop(fn(spark, d)) catch { case scala.util.control.NonFatal(_) => }
+        val t = (System.nanoTime() - t0) / 1e9
+        steady(n) = math.min(steady.getOrElse(n, Double.MaxValue), t)
+      }
+      val taxed = names.map(_._1)
+        .map(n => (n, firsts(n) - steady(n), firsts(n), steady(n)))
+        .sortBy(-_._2)
+      var cum = 0.0
+      for ((n, tax, f, s) <- taxed if tax >= 0.15) {
+        cum += tax
+        println(f"$n%-22s tax $tax%5.2f  first $f%5.2f  steady $s%5.2f  cum $cum%5.1f")
+      }
+      println(f"total tax all keys: ${taxed.map(_._2).sum}%.1f s; " +
+        f">=0.25s keys: ${taxed.count(_._2 >= 0.25)}; " +
+        f">=0.4s keys: ${taxed.count(_._2 >= 0.4)}")
+    }
+
     // total job+wall count over the full iterative keys (checkpoint rounds
     // included) — contention-immune shape evidence for the r17 batching
     if (want("iterjobs")) {
